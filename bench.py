@@ -1,0 +1,88 @@
+#!/usr/bin/env python
+"""Benchmark: end-to-end faces/sec/chip (detect + align + quality + classify).
+
+Runs the fused single-program pipeline (deepfake_vit_tpu/e2e.py) on the real
+chip over synthetic frames and prints ONE JSON line:
+    {"metric": ..., "value": N, "unit": "faces/sec/chip", "vs_baseline": N}
+
+``vs_baseline`` is measured against the driver north star of 5,000
+faces/sec/chip (BASELINE.json; the reference publishes no numbers of its
+own — BASELINE.md).
+
+Secondary numbers (classify-only throughput, step latency) go to stderr so
+the stdout contract stays one line.
+"""
+
+import json
+import sys
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+BASELINE_FACES_PER_SEC = 5000.0
+
+
+def _time_fn(fn, *args, iters=10, warmup=2):
+    for _ in range(warmup):
+        jax.block_until_ready(fn(*args))
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = fn(*args)
+    jax.block_until_ready(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def main():
+    from deepfake_vit_tpu.e2e import FusedPipeline
+    from deepfake_vit_tpu.utils import enable_compilation_cache, load_config, get_project_root
+
+    enable_compilation_cache()
+
+    cfg_dir = get_project_root() / "deepfake_vit_tpu" / "configs"
+    model_config = load_config(cfg_dir / "model_config.yaml")
+
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})", file=sys.stderr)
+
+    # --- end-to-end fused pipeline ---------------------------------------
+    det_size = (320, 320)  # detection canvas; classification at 224
+    batch = 64
+    pipe = FusedPipeline(model_config, detection_input_size=det_size,
+                         confidence_threshold=0.0)
+    det_vars, model_vars = pipe.init_variables(jax.random.PRNGKey(0))
+    frames = jnp.asarray(
+        np.random.default_rng(0).uniform(0, 255, size=(batch, *det_size, 3)),
+        jnp.float32,
+    )
+
+    t = _time_fn(pipe.forward, det_vars, model_vars, frames, iters=10, warmup=2)
+    e2e_fps = batch / t
+    print(f"end-to-end: {e2e_fps:.1f} faces/s (batch {batch}, {t*1e3:.2f} ms/step)",
+          file=sys.stderr)
+
+    if "--full" in sys.argv:
+        # classify-only (BASELINE config 1: forward on pre-aligned crops)
+        from deepfake_vit_tpu.models import DeepfakeDetectionModel
+
+        model = DeepfakeDetectionModel(variant="b4", dtype=jnp.bfloat16)
+        rng = jax.random.PRNGKey(0)
+        imgs = jnp.zeros((64, 224, 224, 3), jnp.float32)
+        lms = jnp.full((64, 5, 2), 112.0, jnp.float32)
+        variables = model.init({"params": rng, "dropout": rng}, imgs, lms)
+        fwd = jax.jit(lambda v, i, l: model.apply(v, i, l, train=False)[0])
+        t_cls = _time_fn(fwd, variables, imgs, lms, iters=10, warmup=2)
+        print(f"classify-only: {64 / t_cls:.1f} faces/s ({t_cls*1e3:.2f} ms / batch 64)",
+              file=sys.stderr)
+
+    print(json.dumps({
+        "metric": "end_to_end_faces_per_sec_per_chip",
+        "value": round(e2e_fps, 1),
+        "unit": "faces/sec/chip",
+        "vs_baseline": round(e2e_fps / BASELINE_FACES_PER_SEC, 3),
+    }))
+
+
+if __name__ == "__main__":
+    main()

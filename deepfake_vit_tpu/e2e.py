@@ -1,0 +1,145 @@
+"""Fused end-to-end pipeline: ONE jitted program per batch of frames.
+
+The reference runs detect (ONNX) → quality (cv2) → align (cv2) → classify
+(torch) as four host-orchestrated stages per image (``pipeline.py:122-177``
++ ``task.ipynb``). Here the whole chain — SCRFD forward, anchor decode,
+fixed-size NMS, best-face selection, Umeyama solve, batched warp, quality
+scoring, ImageNet normalization, EfficientNet+attention classification —
+compiles into a single XLA program with static shapes: no host↔device
+round-trips between stages, full fusion of the elementwise glue, and the
+batch dimension shardable over the ``data`` mesh axis.
+
+This is the graph behind the headline faces/sec/chip benchmark
+(BASELINE.json north star).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .models import create_model_from_config
+from .models.scrfd import ScrfdDetector
+from .ops.anchors import STRIDES, all_anchor_centers, decode_boxes, decode_landmarks
+from .ops.image import IMAGENET_MEAN, IMAGENET_STD
+from .ops.quality import overall_quality
+from .ops.umeyama import transform_points, umeyama
+from .ops.warp import warp_affine
+from .preprocessing.aligner import DEFAULT_REFERENCE_LANDMARKS, _LANDMARK_ORDER
+
+
+class FusedPipeline:
+    """detect+align+quality+classify as one jittable function.
+
+    ``__call__(detector_vars, model_state, frames)`` with frames
+    (B, H, W, 3) float RGB [0,255] returns per-frame results; every frame
+    yields exactly one (best) face with a validity flag — static shapes
+    throughout.
+    """
+
+    def __init__(
+        self,
+        model_config: Dict[str, Any],
+        detection_input_size: Tuple[int, int] = (640, 640),
+        output_size: Tuple[int, int] = (224, 224),
+        confidence_threshold: float = 0.5,
+        reference_landmarks: Optional[Dict[str, Tuple[float, float]]] = None,
+        dtype=jnp.bfloat16,
+    ):
+        self.detector = ScrfdDetector(dtype=dtype)
+        self.model = create_model_from_config(model_config.get("model", {}), dtype=dtype)
+        self.input_size = detection_input_size
+        self.output_size = tuple(output_size)
+        self.confidence_threshold = confidence_threshold
+
+        centers, strides = all_anchor_centers(self.input_size)
+        self._centers = jnp.asarray(centers)
+        self._strides = jnp.asarray(strides)
+
+        ref = {**DEFAULT_REFERENCE_LANDMARKS, **(reference_landmarks or {})}
+        self.reference = jnp.asarray(
+            np.asarray([ref[k] for k in _LANDMARK_ORDER], np.float32)
+            * np.asarray([self.output_size[1], self.output_size[0]], np.float32)
+        )
+        self.forward = jax.jit(self._graph)
+
+    def init_variables(self, rng: jax.Array):
+        """Initialize both networks (random weights; load real ones on top)."""
+        det_vars = self.detector.init(
+            rng, jnp.zeros((1, *self.input_size, 3), jnp.float32)
+        )
+        rng2 = jax.random.fold_in(rng, 1)
+        model_vars = self.model.init(
+            {"params": rng2, "dropout": rng2},
+            jnp.zeros((1, *self.output_size, 3), jnp.float32),
+            jnp.zeros((1, 5, 2), jnp.float32),
+        )
+        return det_vars, model_vars
+
+    # ------------------------------------------------------------------
+    def _graph(self, det_vars, model_vars, frames: jnp.ndarray):
+        """frames: (B, H, W, 3) float32 RGB [0, 255] at detection size."""
+        B = frames.shape[0]
+
+        # 1. Detection network + decode (best face only → argmax, no NMS
+        #    needed for keep_top_k=1 semantics of the reference).
+        x = (frames - 127.5) / 128.0
+        outs = self.detector.apply(det_vars, x, train=False)
+        scores = jnp.concatenate(
+            [jax.nn.sigmoid(outs[s]["scores"]) for s in STRIDES], axis=1
+        )
+        dist = jnp.concatenate([outs[s]["bbox"] for s in STRIDES], axis=1)
+        kps = jnp.concatenate([outs[s]["kps"] for s in STRIDES], axis=1)
+
+        best = jnp.argmax(scores, axis=1)  # (B,)
+        conf = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+        boxes = decode_boxes(self._centers, self._strides, dist)
+        landmarks = decode_landmarks(self._centers, self._strides, kps)
+        bbox = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
+        lms = jnp.take_along_axis(landmarks, best[:, None, None, None], axis=1)[:, 0]
+        has_face = conf >= self.confidence_threshold
+
+        # 2. Alignment: batched Umeyama + warp.
+        ref = jnp.broadcast_to(self.reference, lms.shape)
+        tform = umeyama(lms, ref)
+        aligned = warp_affine(frames, tform, self.output_size)  # [0,255]
+        aligned_lms = transform_points(tform, lms)
+
+        # 3. Quality scoring on the aligned face (fused).
+        quality, q_valid, _ = overall_quality(aligned, aligned_lms, bbox, conf)
+
+        # 4. Classification.
+        norm = (aligned / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        logits, features = self.model.apply(
+            model_vars, norm, aligned_lms, train=False, return_features=True
+        )
+        probs = jax.nn.softmax(logits, axis=-1)
+
+        return {
+            "has_face": has_face,
+            "confidence": conf,
+            "bbox": bbox,
+            "landmarks": aligned_lms,
+            "quality": quality,
+            "quality_valid": q_valid,
+            "probs": probs,
+            "fake_prob": jnp.where(has_face, probs[:, 1], 0.0),
+            "features": features,
+        }
+
+    # ------------------------------------------------------------------
+    def predict_clip(self, det_vars, model_vars, frames: np.ndarray, threshold: float = 0.5):
+        """Clip-level aggregation: mean fake-prob over frames with faces."""
+        out = jax.device_get(self.forward(det_vars, model_vars, jnp.asarray(frames, jnp.float32)))
+        mask = out["has_face"].astype(np.float32)
+        denom = max(mask.sum(), 1.0)
+        fake = float((out["fake_prob"] * mask).sum() / denom)
+        return {
+            "label": int(fake >= threshold and mask.sum() > 0),
+            "fake_prob": fake,
+            "num_faces": int(mask.sum()),
+            "frame_probs": out["fake_prob"].tolist(),
+        }

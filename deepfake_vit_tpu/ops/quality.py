@@ -1,0 +1,155 @@
+"""Fused, batched face-quality scoring.
+
+Capability parity with reference ``src/preprocessing/quality_checker.py``
+(5 checks + weighted overall score), recomputed as one jitted graph over a
+whole batch of faces instead of five sequential cv2 passes per image:
+
+- face size: min(bbox side) within [min_face_size, max_face_size]
+- blur: Laplacian variance ≥ blur_threshold (reflect-101 border)
+- brightness: gray mean ∈ [min_brightness, max_brightness]
+- contrast: gray std ≥ min_contrast
+- occlusion: mean variance of 5 landmark-centered patches / 1000, clipped
+  to [0,1], ≥ occlusion_threshold. Patch windows are fixed-size
+  (min(H,W)//10) and shifted inside the image near borders (the reference
+  clips instead — for aligned faces landmarks are interior, so identical).
+- detection confidence passes through.
+
+Per-metric normalization and the fixed weight vector
+{size .15, blur .25, brightness .15, contrast .15, occlusion .15,
+conf .15} match ``quality_checker.py:111-118, 260-304``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Dict, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from .image import laplacian, rgb_to_gray
+
+DEFAULT_THRESHOLDS = dict(
+    min_face_size=50.0,
+    max_face_size=2000.0,
+    blur_threshold=100.0,
+    min_brightness=30.0,
+    max_brightness=225.0,
+    min_contrast=20.0,
+    occlusion_threshold=0.3,
+)
+
+QUALITY_WEIGHTS = dict(
+    face_size=0.15,
+    blur=0.25,
+    brightness=0.15,
+    contrast=0.15,
+    occlusion=0.15,
+    detection_confidence=0.15,
+)
+
+
+def _patch_variance(gray: jnp.ndarray, landmarks: jnp.ndarray, region: int) -> jnp.ndarray:
+    """Mean variance of fixed-size patches centered at the 5 landmarks.
+
+    gray: (H, W); landmarks: (5, 2) in pixels. Window shifted to stay
+    in-bounds (static shapes for XLA).
+    """
+    H, W = gray.shape
+    half = region // 2
+    size = 2 * half if half > 0 else 1
+
+    def one(pt):
+        x = jnp.clip(pt[0].astype(jnp.int32) - half, 0, max(W - size, 0))
+        y = jnp.clip(pt[1].astype(jnp.int32) - half, 0, max(H - size, 0))
+        patch = jax.lax.dynamic_slice(gray, (y, x), (size, size))
+        return jnp.var(patch)
+
+    return jnp.mean(jax.vmap(one)(landmarks))
+
+
+def quality_scores(
+    images: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    bboxes: jnp.ndarray,
+    confidences: jnp.ndarray,
+    thresholds: Dict[str, float] | None = None,
+) -> Dict[str, jnp.ndarray]:
+    """Raw per-metric scores + validity for a batch.
+
+    images: (B, H, W, 3) float RGB in [0, 255] (uint8 range, matching cv2
+        semantics of the reference — pass aligned uint8 faces as float).
+    landmarks: (B, 5, 2) pixels; bboxes: (B, 4) xyxy; confidences: (B,).
+    """
+    th = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
+    gray = rgb_to_gray(images.astype(jnp.float32))  # (B, H, W)
+    B, H, W = gray.shape
+
+    lap = laplacian(gray)
+    blur = jnp.var(lap, axis=(1, 2))
+    brightness = jnp.mean(gray, axis=(1, 2))
+    contrast = jnp.std(gray, axis=(1, 2))
+
+    region = max(min(H, W) // 10, 2)
+    occ_var = jax.vmap(lambda g, lm: _patch_variance(g, lm, region))(gray, landmarks)
+    occlusion = jnp.minimum(occ_var / 1000.0, 1.0)
+
+    w = bboxes[:, 2] - bboxes[:, 0]
+    h = bboxes[:, 3] - bboxes[:, 1]
+    face_size = jnp.minimum(w, h)
+
+    valid = (
+        (face_size >= th["min_face_size"])
+        & (face_size <= th["max_face_size"])
+        & (blur >= th["blur_threshold"])
+        & (brightness >= th["min_brightness"])
+        & (brightness <= th["max_brightness"])
+        & (contrast >= th["min_contrast"])
+        & (occlusion >= th["occlusion_threshold"])
+    )
+
+    return {
+        "face_size": face_size,
+        "blur": blur,
+        "brightness": brightness,
+        "contrast": contrast,
+        "occlusion": occlusion,
+        "detection_confidence": confidences,
+        "is_valid": valid,
+    }
+
+
+def normalize_scores(scores: Dict[str, jnp.ndarray], thresholds: Dict[str, float] | None = None) -> Dict[str, jnp.ndarray]:
+    """Per-metric [0,1] normalization (quality_checker.py:260-304 semantics)."""
+    th = {**DEFAULT_THRESHOLDS, **(thresholds or {})}
+    out = {}
+
+    fs = scores["face_size"]
+    out["face_size"] = jnp.where(
+        fs < 100.0,
+        fs / 100.0,
+        jnp.where(fs > 500.0, jnp.maximum(0.0, 1.0 - (fs - 500.0) / 500.0), 1.0),
+    )
+    out["blur"] = jnp.minimum(scores["blur"] / (th["blur_threshold"] * 2.0), 1.0)
+    out["brightness"] = jnp.maximum(0.0, 1.0 - jnp.abs(scores["brightness"] - 127.5) / 127.5)
+    out["contrast"] = jnp.minimum(scores["contrast"] / (th["min_contrast"] * 5.0), 1.0)
+    out["occlusion"] = scores["occlusion"]
+    out["detection_confidence"] = scores["detection_confidence"]
+    return out
+
+
+def overall_quality(
+    images: jnp.ndarray,
+    landmarks: jnp.ndarray,
+    bboxes: jnp.ndarray,
+    confidences: jnp.ndarray,
+    thresholds: Dict[str, float] | None = None,
+) -> Tuple[jnp.ndarray, jnp.ndarray, Dict[str, jnp.ndarray]]:
+    """Fused overall score: (overall (B,), is_valid (B,), raw scores dict)."""
+    raw = quality_scores(images, landmarks, bboxes, confidences, thresholds)
+    norm = normalize_scores(raw, thresholds)
+    overall = sum(QUALITY_WEIGHTS[k] * norm[k] for k in QUALITY_WEIGHTS)
+    return overall, raw["is_valid"], raw
+
+
+overall_quality_jit = jax.jit(overall_quality)

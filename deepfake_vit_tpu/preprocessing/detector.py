@@ -1,0 +1,184 @@
+"""Face detection front-end (Stage 1).
+
+Capability parity with reference ``src/preprocessing/face_detector.py``:
+``FaceDetector.detect`` returning the best face as
+``{bbox(4), landmarks(5,2), confidence, num_faces}`` filtered by a
+confidence threshold, batch detection, margin-crop ROI, and a factory
+``create_face_detector``. The heavy path is TPU-native: one jitted program
+runs the SCRFD network, anchor decode, score filtering, and fixed-size NMS
+on a whole batch of frames (the reference loops Python per image through an
+ONNX session, ``face_detector.py:96-110``).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Dict, List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..models.scrfd import ScrfdDetector
+from ..ops.anchors import STRIDES, all_anchor_centers
+from ..ops.anchors import decode_boxes, decode_landmarks
+from ..ops.nms import nms_batched
+
+
+class FaceDetector:
+    """Base detector: SCRFD graph + batched decode/NMS under one jit."""
+
+    def __init__(
+        self,
+        confidence_threshold: float = 0.5,
+        nms_threshold: float = 0.4,
+        keep_top_k: int = 1,
+        input_size: Tuple[int, int] = (640, 640),
+        max_detections: int = 64,
+        params: Optional[Dict[str, Any]] = None,
+        seed: int = 0,
+    ):
+        self.confidence_threshold = confidence_threshold
+        self.nms_threshold = nms_threshold
+        self.keep_top_k = keep_top_k
+        self.input_size = tuple(input_size)
+        self.max_detections = max_detections
+
+        self.model = ScrfdDetector()
+        if params is None:
+            dummy = jnp.zeros((1, *self.input_size, 3), jnp.float32)
+            variables = self.model.init(jax.random.PRNGKey(seed), dummy)
+            self.variables = variables
+        else:
+            self.variables = params
+
+        centers, strides = all_anchor_centers(self.input_size)
+        self._centers = jnp.asarray(centers)
+        self._strides = jnp.asarray(strides)
+        self._detect_jit = jax.jit(self._detect_graph)
+
+    # -- jitted core ------------------------------------------------------
+    def _detect_graph(self, variables, images: jnp.ndarray):
+        """images: (B, H, W, 3) float32 raw RGB [0,255]. Returns padded dets."""
+        x = (images - 127.5) / 128.0
+        outs = self.model.apply(variables, x, train=False)
+        scores = jnp.concatenate([jax.nn.sigmoid(outs[s]["scores"]) for s in STRIDES], axis=1)
+        dist = jnp.concatenate([outs[s]["bbox"] for s in STRIDES], axis=1)
+        kps = jnp.concatenate([outs[s]["kps"] for s in STRIDES], axis=1)
+
+        boxes = decode_boxes(self._centers, self._strides, dist)  # (B, N, 4)
+        landmarks = decode_landmarks(self._centers, self._strides, kps)  # (B, N, 5, 2)
+
+        idx, valid = nms_batched(
+            boxes,
+            scores,
+            iou_threshold=self.nms_threshold,
+            score_threshold=self.confidence_threshold,
+            max_outputs=self.max_detections,
+        )
+        safe = jnp.maximum(idx, 0)
+        sel_boxes = jnp.take_along_axis(boxes, safe[..., None], axis=1)
+        sel_scores = jnp.take_along_axis(scores, safe, axis=1)
+        sel_lms = jnp.take_along_axis(landmarks, safe[..., None, None], axis=1)
+        return {
+            "boxes": sel_boxes,
+            "scores": jnp.where(valid, sel_scores, 0.0),
+            "landmarks": sel_lms,
+            "valid": valid,
+        }
+
+    # -- host API ----------------------------------------------------------
+    def _prepare(self, image: np.ndarray) -> Tuple[np.ndarray, float]:
+        """Aspect-preserving resize into the static input canvas."""
+        import cv2
+
+        H, W = self.input_size
+        h, w = image.shape[:2]
+        scale = min(W / w, H / h)
+        nw, nh = int(round(w * scale)), int(round(h * scale))
+        resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        canvas = np.zeros((H, W, 3), dtype=np.float32)
+        canvas[:nh, :nw] = resized
+        return canvas, scale
+
+    def detect_batch_raw(self, images: np.ndarray) -> Dict[str, np.ndarray]:
+        """Batched detection on pre-sized (B, H, W, 3) RGB uint8/float arrays."""
+        out = self._detect_jit(self.variables, jnp.asarray(images, jnp.float32))
+        return jax.device_get(out)
+
+    def detect(self, image: np.ndarray) -> Optional[Dict[str, Any]]:
+        """Single RGB image → best face dict or None (reference contract)."""
+        results = self.batch_detect([image])
+        return results[0]
+
+    def batch_detect(self, images: List[np.ndarray]) -> List[Optional[Dict[str, Any]]]:
+        canvases, scales = zip(*(self._prepare(img) for img in images))
+        out = self.detect_batch_raw(np.stack(canvases))
+        results: List[Optional[Dict[str, Any]]] = []
+        for b, scale in enumerate(scales):
+            valid = out["valid"][b]
+            n = int(valid.sum())
+            if n == 0:
+                results.append(None)
+                continue
+            scores = out["scores"][b][valid]
+            order = np.argsort(-scores)[: self.keep_top_k]
+            best = order[0]
+            boxes = out["boxes"][b][valid] / scale
+            lms = out["landmarks"][b][valid] / scale
+            results.append(
+                {
+                    "bbox": boxes[best].astype(np.float32),
+                    "landmarks": lms[best].astype(np.float32),
+                    "confidence": float(scores[best]),
+                    "num_faces": n,
+                }
+            )
+        return results
+
+    def load_weights(self, path: str) -> None:
+        """Load converted detector weights (flax msgpack state dict)."""
+        from flax import serialization
+
+        with open(path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+        self.variables = serialization.from_state_dict(self.variables, state)
+
+    @staticmethod
+    def get_face_roi(
+        image: np.ndarray, bbox: np.ndarray, margin: float = 0.2
+    ) -> np.ndarray:
+        """Margin-expanded crop (reference ``get_face_roi``)."""
+        h, w = image.shape[:2]
+        x1, y1, x2, y2 = bbox
+        mw = (x2 - x1) * margin
+        mh = (y2 - y1) * margin
+        x1 = int(max(0, x1 - mw))
+        y1 = int(max(0, y1 - mh))
+        x2 = int(min(w, x2 + mw))
+        y2 = int(min(h, y2 + mh))
+        return image[y1:y2, x1:x2]
+
+
+class ScrfdFaceDetector(FaceDetector):
+    """Named alias for the production path (parity with RetinaFaceDetector)."""
+
+
+def create_face_detector(config: Dict[str, Any]) -> FaceDetector:
+    """Factory from the preprocessing_config.yaml 'detection' block."""
+    model = config.get("model", "scrfd")
+    scrfd_cfg = config.get("scrfd", {}) or {}
+    kwargs = dict(
+        confidence_threshold=config.get("confidence_threshold", 0.5),
+        nms_threshold=config.get("nms_threshold", 0.4),
+        keep_top_k=config.get("keep_top_k", 1),
+        input_size=tuple(scrfd_cfg.get("input_size", (640, 640))),
+        max_detections=scrfd_cfg.get("max_detections", 64),
+    )
+    if model in ("scrfd", "retinaface"):
+        det = ScrfdFaceDetector(**kwargs)
+        path = scrfd_cfg.get("pretrained_path")
+        if path:
+            det.load_weights(path)
+        return det
+    raise ValueError(f"unknown detector model: {model}")

@@ -1,0 +1,195 @@
+"""Train state + jitted train/eval step factories.
+
+This replaces the reference's imperative loop body
+(``src/training/trainer.py:104-202``: autocast forward, CombinedLoss dict
+unwrap, accumulation-normalized backward, clip_grad_norm_, optimizer step)
+with a single pure function ``(state, batch, rng) -> (state, metrics)``
+compiled once by XLA over a named mesh:
+
+- mixed precision = bf16 activations via the model's ``dtype`` (no loss
+  scaler needed on TPU — bf16 keeps fp32's exponent range),
+- gradient accumulation = ``lax.scan`` over microbatches inside the step,
+- gradient clipping = ``optax.clip_by_global_norm`` in the optimizer chain,
+- data parallelism = batch sharded over the ``data`` mesh axis, params
+  replicated; XLA inserts the gradient all-reduce (psum over ICI).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Any, Callable, Dict, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import optax
+from flax import struct
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+from ..parallel.mesh import DATA_AXIS
+
+
+class TrainState(struct.PyTreeNode):
+    step: jnp.ndarray
+    params: Any
+    batch_stats: Any
+    opt_state: Any
+
+    @classmethod
+    def create(cls, params, batch_stats, opt_state) -> "TrainState":
+        return cls(
+            step=jnp.zeros((), jnp.int32),
+            params=params,
+            batch_stats=batch_stats,
+            opt_state=opt_state,
+        )
+
+
+def _forward_loss(
+    model,
+    criterion,
+    params,
+    batch_stats,
+    batch: Dict[str, jnp.ndarray],
+    dropout_rng,
+    use_landmarks: bool,
+):
+    variables = {"params": params, "batch_stats": batch_stats}
+    landmarks = batch.get("landmarks") if use_landmarks else None
+    (logits, features), mutated = model.apply(
+        variables,
+        batch["image"],
+        landmarks,
+        train=True,
+        return_features=True,
+        rngs={"dropout": dropout_rng},
+        mutable=["batch_stats"],
+    )
+    losses = criterion(logits, batch["label"], features)
+    acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
+    metrics = {f"loss_{k}": v for k, v in losses.items()}
+    metrics["loss"] = losses["total"]
+    metrics["accuracy"] = acc
+    return losses["total"], (mutated["batch_stats"], metrics)
+
+
+def make_train_step(
+    model,
+    criterion: Callable,
+    optimizer: optax.GradientTransformation,
+    accumulation_steps: int = 1,
+    use_landmarks: bool = True,
+    mesh: Optional[Mesh] = None,
+    donate: bool = True,
+):
+    """Build the jitted train step.
+
+    Batch layout: leading dim is the *global* batch; with accumulation > 1
+    the step reshapes to (A, B/A, ...) and scans, averaging gradients —
+    semantically identical to the reference's accumulation-normalized
+    ``loss / accumulation_steps`` + deferred optimizer step.
+    """
+
+    def loss_and_grads(params, batch_stats, batch, rng):
+        grad_fn = jax.value_and_grad(
+            lambda p: _forward_loss(model, criterion, p, batch_stats, batch, rng, use_landmarks),
+            has_aux=True,
+        )
+        (_, (new_stats, metrics)), grads = grad_fn(params)
+        return grads, new_stats, metrics
+
+    def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
+        rng = jax.random.fold_in(rng, state.step)
+
+        if accumulation_steps > 1:
+            def micro(i, x):
+                n = x.shape[0]
+                m = n // accumulation_steps
+                return jax.lax.dynamic_slice_in_dim(x, i * m, m, axis=0)
+
+            def scan_body(carry, i):
+                stats = carry["stats"]
+                mb = jax.tree_util.tree_map(partial(micro, i), batch)
+                g, new_stats, m = loss_and_grads(
+                    state.params, stats, mb, jax.random.fold_in(rng, i)
+                )
+                carry = {
+                    "stats": new_stats,
+                    "grads": jax.tree_util.tree_map(jnp.add, carry["grads"], g),
+                    "metrics": jax.tree_util.tree_map(jnp.add, carry["metrics"], m),
+                }
+                return carry, None
+
+            zero_grads = jax.tree_util.tree_map(jnp.zeros_like, state.params)
+            mb0 = jax.tree_util.tree_map(partial(micro, 0), batch)
+            g0, stats0, m0 = loss_and_grads(state.params, state.batch_stats, mb0, rng)
+            carry = {"stats": stats0, "grads": jax.tree_util.tree_map(jnp.add, zero_grads, g0), "metrics": m0}
+            carry, _ = jax.lax.scan(
+                scan_body, carry, jnp.arange(1, accumulation_steps)
+            )
+            inv = 1.0 / accumulation_steps
+            grads = jax.tree_util.tree_map(lambda g: g * inv, carry["grads"])
+            new_stats = carry["stats"]
+            metrics = jax.tree_util.tree_map(lambda m: m * inv, carry["metrics"])
+        else:
+            grads, new_stats, metrics = loss_and_grads(
+                state.params, state.batch_stats, batch, rng
+            )
+
+        updates, new_opt_state = optimizer.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        metrics["grad_norm"] = optax.global_norm(grads)
+        new_state = state.replace(
+            step=state.step + 1,
+            params=new_params,
+            batch_stats=new_stats,
+            opt_state=new_opt_state,
+        )
+        return new_state, metrics
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        state_sh = repl
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+        return jax.jit(
+            train_step,
+            in_shardings=(state_sh, batch_sh, repl),
+            out_shardings=(state_sh, repl),
+            donate_argnums=(0,) if donate else (),
+        )
+    return jax.jit(train_step, donate_argnums=(0,) if donate else ())
+
+
+def make_eval_step(
+    model,
+    criterion: Callable,
+    use_landmarks: bool = True,
+    mesh: Optional[Mesh] = None,
+):
+    """Jitted eval step: (state, batch) -> per-batch arrays for host aggregation."""
+
+    def eval_step(state: TrainState, batch: Dict[str, jnp.ndarray]) -> Dict[str, jnp.ndarray]:
+        variables = {"params": state.params, "batch_stats": state.batch_stats}
+        landmarks = batch.get("landmarks") if use_landmarks else None
+        logits, features = model.apply(
+            variables, batch["image"], landmarks, train=False, return_features=True
+        )
+        losses = criterion(logits, batch["label"], features)
+        probs = jax.nn.softmax(logits, axis=-1)
+        return {
+            "loss": losses["total"],
+            "probs": probs,
+            "preds": jnp.argmax(logits, axis=-1),
+            "labels": batch["label"],
+        }
+
+    if mesh is not None:
+        repl = NamedSharding(mesh, P())
+        batch_sh = NamedSharding(mesh, P(DATA_AXIS))
+        out_sh = {
+            "loss": repl,
+            "probs": batch_sh,
+            "preds": batch_sh,
+            "labels": batch_sh,
+        }
+        return jax.jit(eval_step, in_shardings=(repl, batch_sh), out_shardings=out_sh)
+    return jax.jit(eval_step)
