@@ -24,13 +24,25 @@ import numpy as np
 BASELINE_FACES_PER_SEC = 5000.0
 
 
+def _sync(tree):
+    """True device sync: pull a scalar derived from every output leaf.
+
+    NOTE: on the axon tunnel platform ``block_until_ready`` does NOT block;
+    only an actual device→host transfer synchronizes. All timings here
+    bracket the loop between two such transfers.
+    """
+    leaves = jax.tree_util.tree_leaves(tree)
+    return jax.device_get([l.ravel()[0] for l in leaves if hasattr(l, "ravel")])
+
+
 def _time_fn(fn, *args, iters=10, warmup=2):
     for _ in range(warmup):
-        jax.block_until_ready(fn(*args))
+        _sync(fn(*args))
     t0 = time.perf_counter()
+    out = None
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _sync(out)
     return (time.perf_counter() - t0) / iters
 
 
@@ -51,7 +63,12 @@ def main():
     batch = 64
     pipe = FusedPipeline(model_config, detection_input_size=det_size,
                          confidence_threshold=0.0)
-    det_vars, model_vars = pipe.init_variables(jax.random.PRNGKey(0))
+    # Initialize on the host CPU backend (local, fast compile), then move to
+    # the accelerator — compiles over the TPU tunnel cost minutes each.
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        det_vars, model_vars = pipe.init_variables(jax.random.PRNGKey(0))
+    det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
     frames = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, size=(batch, *det_size, 3)),
         jnp.float32,

@@ -27,7 +27,7 @@ from .ops.anchors import STRIDES, all_anchor_centers, decode_boxes, decode_landm
 from .ops.image import IMAGENET_MEAN, IMAGENET_STD
 from .ops.quality import overall_quality
 from .ops.umeyama import transform_points, umeyama
-from .ops.warp import warp_affine
+from .ops.warp import warp_affine_auto
 from .preprocessing.aligner import DEFAULT_REFERENCE_LANDMARKS, _LANDMARK_ORDER
 
 
@@ -105,7 +105,7 @@ class FusedPipeline:
         # 2. Alignment: batched Umeyama + warp.
         ref = jnp.broadcast_to(self.reference, lms.shape)
         tform = umeyama(lms, ref)
-        aligned = warp_affine(frames, tform, self.output_size)  # [0,255]
+        aligned = warp_affine_auto(frames, tform, self.output_size)  # [0,255]
         aligned_lms = transform_points(tform, lms)
 
         # 3. Quality scoring on the aligned face (fused).

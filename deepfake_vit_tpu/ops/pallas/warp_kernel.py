@@ -1,0 +1,123 @@
+"""Pallas TPU kernel: batched affine bilinear warp, gather-free.
+
+Why a kernel: XLA lowers 2-D computed-index gathers catastrophically on TPU
+(~170 ms for a 64×320²→224² batch on v5e) and the XLA one-hot-matmul
+reformulation (ops/warp.py::warp_affine_matmul) is HBM-bound on its
+(pixels × source-width) intermediate (~90 ms). This kernel keeps that
+intermediate in VMEM:
+
+For each (image, 16-row output chunk) grid cell, with everything built
+lane-major (output pixels on lanes — no in-kernel relayouts):
+
+    V_T[t, p] = tri(sy[p] − t)          vertical 2-tap weights  (iota only)
+    P_T[s, p] = Σ_t imgT[s, t]·V_T[t,p] MXU matmul (K = source height)
+    H_T[s, p] = tri(sx[p] − s)          horizontal 2-tap weights
+    out[p]    = Σ_s P_T[s,p]·H_T[s,p]   VPU multiply + sublane reduce
+
+Border semantics match cv2 BORDER_CONSTANT=0 exactly: out-of-image taps
+get zero tri-weight. fp32 accumulation; tap weights and pixels in bf16
+(≤1/255 relative error on uint8-range images — exactness available via the
+XLA fp32 path in ops/warp.py).
+
+The source image is pre-transposed once by XLA to (B, C, Ws, Hs) so the
+matmul needs no in-kernel transpose or dynamic lane slicing.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from ..umeyama import invert_affine
+
+
+def _warp_kernel(coef_ref, imgT_ref, out_ref, *, R: int, Ho: int, Wo: int,
+                 Hs: int, Ws: int, C: int):
+    k = pl.program_id(1)
+    a = coef_ref[0, 0, 0]
+    b = coef_ref[0, 0, 1]
+    c = coef_ref[0, 0, 2]
+    d = coef_ref[0, 0, 3]
+    e = coef_ref[0, 0, 4]
+    f = coef_ref[0, 0, 5]
+
+    n = R * Wo
+    # Output pixel index p (lane-major row vector): i = p // Wo, j = p % Wo.
+    p = jax.lax.broadcasted_iota(jnp.int32, (1, n), 1)
+    i = (p // Wo).astype(jnp.float32) + (k * R).astype(jnp.float32)
+    j = (p % Wo).astype(jnp.float32)
+    sx = a * j + b * i + c  # (1, n) source x per output pixel
+    sy = d * j + e * i + f  # (1, n) source y
+
+    # Vertical taps: V_T (Hs, n); tri-weight ⇒ BORDER_CONSTANT=0.
+    t_iota = jax.lax.broadcasted_iota(jnp.int32, (Hs, n), 0).astype(jnp.float32)
+    V = jnp.maximum(0.0, 1.0 - jnp.abs(sy - t_iota)).astype(jnp.bfloat16)
+
+    # Horizontal taps: H_T (Ws, n).
+    s_iota = jax.lax.broadcasted_iota(jnp.int32, (Ws, n), 0).astype(jnp.float32)
+    H = jnp.maximum(0.0, 1.0 - jnp.abs(sx - s_iota))
+
+    for ch in range(C):
+        imgT = imgT_ref[0, ch]  # (Ws, Hs) bf16, x-major
+        P = jax.lax.dot_general(
+            imgT, V,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (Ws, n)
+        out_ref[0, 0, ch, :] = jnp.sum(P * H, axis=0)
+
+
+@partial(jax.jit, static_argnames=("out_size", "inverse", "row_chunk"))
+def warp_affine_pallas(
+    images: jnp.ndarray,
+    matrices: jnp.ndarray,
+    out_size: Tuple[int, int],
+    inverse: bool = False,
+    row_chunk: int = 16,
+) -> jnp.ndarray:
+    """Batched cv2.warpAffine equivalent (bilinear, border 0) as a TPU kernel.
+
+    images: (B, Hs, Ws, C) float; matrices: (B, 2, 3) src→dst affines
+    (inverted internally unless ``inverse``). Returns (B, Ho, Wo, C) f32.
+    """
+    B, Hs, Ws, C = images.shape
+    Ho, Wo = out_size
+    R = row_chunk
+    while Ho % R != 0:
+        R //= 2
+    n_chunks = Ho // R
+
+    A_inv = matrices if inverse else invert_affine(matrices)
+    coeffs = jnp.concatenate(
+        [A_inv.reshape(B, 6), jnp.zeros((B, 2), A_inv.dtype)], axis=1
+    ).astype(jnp.float32).reshape(B, 1, 8)
+
+    imgT = jnp.transpose(images.astype(jnp.bfloat16), (0, 3, 2, 1))  # (B,C,Ws,Hs)
+
+    kernel = partial(_warp_kernel, R=R, Ho=Ho, Wo=Wo, Hs=Hs, Ws=Ws, C=C)
+    out = pl.pallas_call(
+        kernel,
+        grid=(B, n_chunks),
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda bi, ki: (bi, 0, 0), memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, Ws, Hs), lambda bi, ki: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, C, R * Wo), lambda bi, ki: (bi, ki, 0, 0),
+                               memory_space=pltpu.VMEM),
+        out_shape=jax.ShapeDtypeStruct((B, n_chunks, C, R * Wo), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * B * n_chunks * C * Ws * Hs * R * Wo // 1,
+            bytes_accessed=B * C * Ws * Hs * 2 + B * C * Ho * Wo * 4,
+            transcendentals=0,
+        ),
+    )(coeffs, imgT)
+
+    # (B, n_chunks, C, R·Wo) → (B, Ho, Wo, C)
+    out = out.reshape(B, n_chunks, C, R, Wo)
+    return jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(B, Ho, Wo, C)

@@ -21,7 +21,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..ops.umeyama import affine_from_3pts, transform_points, umeyama
-from ..ops.warp import warp_affine
+from ..ops.warp import warp_affine_auto
 
 DEFAULT_REFERENCE_LANDMARKS = {
     "left_eye": (0.31, 0.32),
@@ -65,7 +65,12 @@ class FaceAligner:
     def _align_graph(self, images: jnp.ndarray, landmarks: jnp.ndarray):
         """images (B, H, W, 3) float; landmarks (B, 5, 2) source pixels."""
         tform = self._estimate(landmarks)
-        aligned = warp_affine(images, tform, self.output_size, self.border_value)
+        if self.border_value == 0.0:
+            aligned = warp_affine_auto(images, tform, self.output_size)
+        else:  # non-zero border: only the gather path supports it
+            from ..ops.warp import warp_affine
+
+            aligned = warp_affine(images, tform, self.output_size, self.border_value)
         aligned_landmarks = transform_points(tform, landmarks)
         return aligned, aligned_landmarks, tform
 

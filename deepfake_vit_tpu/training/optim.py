@@ -17,6 +17,7 @@ from __future__ import annotations
 import math
 from typing import Any, Dict, Optional
 
+import jax
 import optax
 
 
@@ -49,9 +50,44 @@ def create_optimizer(opt_cfg: Dict[str, Any], gradient_clip: Optional[float] = N
     return base
 
 
+def create_optimizer_with_param_groups(
+    params,
+    base_lr: float = 1e-4,
+    group_lr_scale: Optional[Dict[str, float]] = None,
+    weight_decay: float = 1e-4,
+    gradient_clip: Optional[float] = None,
+    frozen_mask=None,
+):
+    """Discriminative-LR optimizer over stem/blocks/head param groups.
+
+    Capability parity with the reference fine-tune variant's 3-group LR
+    policy (``efficientnet.py:255-292``: stem 0.1×, blocks 0.5×, head 1×)
+    and its staged freezing (``:219-241``), expressed functionally:
+    ``optax.multi_transform`` routes each leaf to its group's AdamW, and an
+    optional boolean ``frozen_mask`` (from models.frozen_stage_mask) zeroes
+    updates for frozen leaves.
+    """
+    from ..models.efficientnet import param_group_labels
+
+    scales = {"stem": 0.1, "blocks": 0.5, "head": 1.0, **(group_lr_scale or {})}
+    labels = param_group_labels(params)
+    transforms = {
+        name: optax.inject_hyperparams(optax.adamw)(
+            learning_rate=base_lr * scale, weight_decay=weight_decay
+        )
+        for name, scale in scales.items()
+    }
+    tx = optax.multi_transform(transforms, labels)
+    chain = [tx]
+    if frozen_mask is not None:
+        chain.append(optax.masked(optax.set_to_zero(), jax.tree_util.tree_map(lambda t: not t, frozen_mask)))
+    if gradient_clip and gradient_clip > 0:
+        chain.insert(0, optax.clip_by_global_norm(float(gradient_clip)))
+    return optax.chain(*chain) if len(chain) > 1 else tx
+
+
 def set_learning_rate(opt_state, lr: float):
     """Write a new learning rate into an inject_hyperparams opt_state."""
-    import jax
 
     def _set(state):
         if hasattr(state, "hyperparams") and "learning_rate" in state.hyperparams:

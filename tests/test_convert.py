@@ -1,0 +1,210 @@
+"""Weight-conversion parity tests.
+
+Verifies the torch→flax converter (models/convert.py) both structurally
+(full-backbone state dict → exact init-tree match) and numerically (a
+torch MBConv block built here with TF-SAME padding semantics — the layout
+efficientnet-pytorch uses — matches the flax block bit-for-bit-ish after
+conversion). This de-risks SURVEY.md §7 hard part 3 (EfficientNet numerical
+parity) without the efficientnet-pytorch wheel.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+import torch
+import torch.nn as tnn
+import torch.nn.functional as tF
+
+from deepfake_vit_tpu.models import DeepfakeDetectionModel, EfficientNetBackbone, block_args
+from deepfake_vit_tpu.models.convert import (
+    assert_tree_shapes_match,
+    convert_detection_model,
+    convert_efficientnet_backbone,
+)
+from deepfake_vit_tpu.models.efficientnet import MBConvBlock
+
+
+def tf_same_pad(x, kernel, stride):
+    """TF/XLA 'SAME' padding for NCHW torch tensors."""
+    ih, iw = x.shape[-2:]
+    pad_h = max((-ih % stride) + kernel - stride, kernel - stride if ih % stride == 0 else 0)
+    # Simplified: standard formula
+    oh = -(-ih // stride)
+    ow = -(-iw // stride)
+    pad_h = max((oh - 1) * stride + kernel - ih, 0)
+    pad_w = max((ow - 1) * stride + kernel - iw, 0)
+    return tF.pad(x, [pad_w // 2, pad_w - pad_w // 2, pad_h // 2, pad_h - pad_h // 2])
+
+
+class TorchMBConv(tnn.Module):
+    """Reference-layout MBConv (efficientnet-pytorch naming) with TF-SAME pads."""
+
+    def __init__(self, fin, fout, kernel, stride, expand, se_ratio):
+        super().__init__()
+        mid = fin * expand
+        self.kernel, self.stride, self.expand = kernel, stride, expand
+        self.fin, self.fout = fin, fout
+        if expand != 1:
+            self._expand_conv = tnn.Conv2d(fin, mid, 1, bias=False)
+            self._bn0 = tnn.BatchNorm2d(mid, eps=1e-3, momentum=0.01)
+        self._depthwise_conv = tnn.Conv2d(mid, mid, kernel, stride, groups=mid, bias=False)
+        self._bn1 = tnn.BatchNorm2d(mid, eps=1e-3, momentum=0.01)
+        se = max(1, int(fin * se_ratio))
+        self._se_reduce = tnn.Conv2d(mid, se, 1)
+        self._se_expand = tnn.Conv2d(se, mid, 1)
+        self._project_conv = tnn.Conv2d(mid, fout, 1, bias=False)
+        self._bn2 = tnn.BatchNorm2d(fout, eps=1e-3, momentum=0.01)
+
+    def forward(self, x):
+        inputs = x
+        if self.expand != 1:
+            x = tF.silu(self._bn0(self._expand_conv(x)))
+        x = tf_same_pad(x, self.kernel, self.stride)
+        x = tF.silu(self._bn1(self._depthwise_conv(x)))
+        se = x.mean((2, 3), keepdim=True)
+        se = self._se_expand(tF.silu(self._se_reduce(se)))
+        x = torch.sigmoid(se) * x
+        x = self._bn2(self._project_conv(x))
+        if self.stride == 1 and self.fin == self.fout:
+            x = x + inputs
+        return x
+
+
+@pytest.mark.parametrize("fin,fout,kernel,stride,expand", [
+    (16, 16, 3, 1, 6),   # residual path
+    (16, 24, 5, 2, 6),   # strided, channel change
+    (32, 16, 3, 1, 1),   # no expansion
+])
+def test_mbconv_numerical_parity(rng, fin, fout, kernel, stride, expand):
+    tblock = TorchMBConv(fin, fout, kernel, stride, expand, se_ratio=0.25).eval()
+    sd = {k: v.detach().numpy() for k, v in tblock.state_dict().items()}
+    # randomize BN stats so parity covers the normalize path
+    for k in list(sd):
+        if k.endswith("running_var"):
+            sd[k] = np.abs(rng.normal(1.0, 0.2, sd[k].shape)).astype(np.float32)
+        if k.endswith("running_mean"):
+            sd[k] = rng.normal(0, 0.2, sd[k].shape).astype(np.float32)
+    tblock.load_state_dict({k: torch.tensor(v) for k, v in sd.items()})
+
+    # convert via the backbone converter machinery on a single-block dict
+    sd_prefixed = {f"_blocks.0.{k}": v for k, v in sd.items()}
+    # minimal stem/head entries so the converter runs: use block-only path
+    from deepfake_vit_tpu.models.convert import _bn, _conv, _depthwise, _np
+
+    blk = {}
+    blk_stats = {}
+    if expand != 1:
+        blk["expand_conv"] = {"kernel": _conv(sd["_expand_conv.weight"])}
+        blk["bn0"], blk_stats["bn0"] = _bn(sd, "_bn0")
+    blk["depthwise_conv"] = {"kernel": _depthwise(sd["_depthwise_conv.weight"])}
+    blk["bn1"], blk_stats["bn1"] = _bn(sd, "_bn1")
+    blk["se_reduce"] = {"kernel": _conv(sd["_se_reduce.weight"]), "bias": _np(sd["_se_reduce.bias"])}
+    blk["se_expand"] = {"kernel": _conv(sd["_se_expand.weight"]), "bias": _np(sd["_se_expand.bias"])}
+    blk["project_conv"] = {"kernel": _conv(sd["_project_conv.weight"])}
+    blk["bn2"], blk_stats["bn2"] = _bn(sd, "_bn2")
+
+    fblock = MBConvBlock(
+        kernel=kernel, stride=stride, expand_ratio=expand,
+        in_filters=fin, out_filters=fout, se_ratio=0.25,
+    )
+    x = rng.normal(0, 1, (2, 14, 14, fin)).astype(np.float32)
+    variables = fblock.init(jax.random.PRNGKey(0), jnp.asarray(x))
+    assert_tree_shapes_match(blk, jax.tree_util.tree_map(np.asarray, variables["params"]))
+    out_f = fblock.apply({"params": blk, "batch_stats": blk_stats}, jnp.asarray(x))
+
+    with torch.no_grad():
+        out_t = tblock(torch.tensor(x.transpose(0, 3, 1, 2))).numpy().transpose(0, 2, 3, 1)
+
+    np.testing.assert_allclose(np.asarray(out_f), out_t, atol=2e-4, rtol=1e-3)
+
+
+def _synthetic_backbone_sd(variant="b0", rng=None):
+    """Random torch-layout state dict with the right shapes for a variant."""
+    from deepfake_vit_tpu.models.efficientnet import VARIANT_PARAMS, feature_dim, round_filters
+
+    rng = rng or np.random.default_rng(0)
+    width = VARIANT_PARAMS[variant][0]
+    sd = {}
+
+    def conv(name, cin, cout, k, bias=False, groups=1):
+        sd[f"{name}.weight"] = rng.normal(0, 0.05, (cout, cin // groups, k, k)).astype(np.float32)
+        if bias:
+            sd[f"{name}.bias"] = rng.normal(0, 0.01, (cout,)).astype(np.float32)
+
+    def bn(name, c):
+        sd[f"{name}.weight"] = np.abs(rng.normal(1, 0.1, (c,))).astype(np.float32)
+        sd[f"{name}.bias"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        sd[f"{name}.running_mean"] = rng.normal(0, 0.1, (c,)).astype(np.float32)
+        sd[f"{name}.running_var"] = np.abs(rng.normal(1, 0.1, (c,))).astype(np.float32)
+
+    stem = round_filters(32, width)
+    conv("_conv_stem", 3, stem, 3)
+    bn("_bn0", stem)
+    for i, a in enumerate(block_args(variant)):
+        mid = a["in_filters"] * a["expand_ratio"]
+        se = max(1, int(a["in_filters"] * 0.25))
+        if a["expand_ratio"] != 1:
+            conv(f"_blocks.{i}._expand_conv", a["in_filters"], mid, 1)
+            bn(f"_blocks.{i}._bn0", mid)
+        conv(f"_blocks.{i}._depthwise_conv", mid, mid, a["kernel"], groups=mid)
+        bn(f"_blocks.{i}._bn1", mid)
+        conv(f"_blocks.{i}._se_reduce", mid, se, 1, bias=True)
+        conv(f"_blocks.{i}._se_expand", se, mid, 1, bias=True)
+        conv(f"_blocks.{i}._project_conv", mid, a["out_filters"], 1)
+        bn(f"_blocks.{i}._bn2", a["out_filters"])
+    conv("_conv_head", block_args(variant)[-1]["out_filters"], feature_dim(variant), 1)
+    bn("_bn1", feature_dim(variant))
+    return sd
+
+
+def test_backbone_conversion_structure():
+    sd = _synthetic_backbone_sd("b0")
+    params, stats = convert_efficientnet_backbone(sd, "b0")
+
+    model = EfficientNetBackbone(variant="b0")
+    x = jnp.zeros((1, 64, 64, 3))
+    variables = model.init(jax.random.PRNGKey(0), x)
+    assert_tree_shapes_match(params, jax.tree_util.tree_map(np.asarray, variables["params"]))
+    assert_tree_shapes_match(stats, jax.tree_util.tree_map(np.asarray, variables["batch_stats"]))
+
+    out = model.apply({"params": params, "batch_stats": stats}, x)
+    assert out.shape == (1, 1280)
+    assert np.isfinite(np.asarray(out)).all()
+
+
+def test_full_model_conversion_structure(rng):
+    sd = _synthetic_backbone_sd("b0", rng)
+    sd = {f"feature_extractor.backbone.backbone.{k}": v for k, v in sd.items()}
+    sd["feature_extractor.attention.landmark_attn.attention_weights"] = np.ones(5, np.float32)
+    C = 1280
+    sd["feature_extractor.attention.channel_attn.fc.0.weight"] = rng.normal(0, 0.05, (C // 16, C)).astype(np.float32)
+    sd["feature_extractor.attention.channel_attn.fc.2.weight"] = rng.normal(0, 0.05, (C, C // 16)).astype(np.float32)
+    sd["feature_extractor.attention.spatial_attn.conv.weight"] = rng.normal(0, 0.05, (1, 2, 7, 7)).astype(np.float32)
+    hidden = (64, 16)
+    dims = [C, *hidden]
+    for i, (din, dout) in enumerate(zip(dims[:-1], dims[1:])):
+        sd[f"classifier.{4*i}.weight"] = rng.normal(0, 0.05, (dout, din)).astype(np.float32)
+        sd[f"classifier.{4*i}.bias"] = np.zeros(dout, np.float32)
+        sd[f"classifier.{4*i+1}.weight"] = np.ones(dout, np.float32)
+        sd[f"classifier.{4*i+1}.bias"] = np.zeros(dout, np.float32)
+        sd[f"classifier.{4*i+1}.running_mean"] = np.zeros(dout, np.float32)
+        sd[f"classifier.{4*i+1}.running_var"] = np.ones(dout, np.float32)
+    sd[f"classifier.{4*len(hidden)}.weight"] = rng.normal(0, 0.05, (2, hidden[-1])).astype(np.float32)
+    sd[f"classifier.{4*len(hidden)}.bias"] = np.zeros(2, np.float32)
+
+    variables = convert_detection_model(sd, variant="b0", hidden_dims=hidden)
+
+    model = DeepfakeDetectionModel(variant="b0", classifier_hidden_dims=hidden)
+    imgs = jnp.ones((2, 64, 64, 3)) * 0.4
+    lms = jnp.full((2, 5, 2), 32.0)
+    ref = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)}, imgs, lms)
+    assert_tree_shapes_match(
+        variables["params"], jax.tree_util.tree_map(np.asarray, ref["params"])
+    )
+
+    logits, feats = model.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        imgs, lms, return_features=True,
+    )
+    assert logits.shape == (2, 2) and np.isfinite(np.asarray(logits)).all()
