@@ -66,6 +66,31 @@ class FusedPipeline:
         )
         self.forward = jax.jit(self._graph)
 
+    def make_sharded(self, mesh):
+        """Jit the pipeline over a mesh: frames sharded on 'data', weights
+        replicated — BASELINE config 5 (multi-dataset batch sharded across a
+        slice). Returns fn(det_vars, model_vars, frames) with sharded outputs."""
+        from jax.sharding import NamedSharding, PartitionSpec as P
+
+        repl = NamedSharding(mesh, P())
+        batch = NamedSharding(mesh, P("data"))
+        out_sh = {
+            "has_face": batch,
+            "confidence": batch,
+            "bbox": batch,
+            "landmarks": batch,
+            "quality": batch,
+            "quality_valid": batch,
+            "probs": batch,
+            "fake_prob": batch,
+            "features": batch,
+        }
+        return jax.jit(
+            self._graph,
+            in_shardings=(repl, repl, batch),
+            out_shardings=out_sh,
+        )
+
     def init_variables(self, rng: jax.Array):
         """Initialize both networks (random weights; load real ones on top)."""
         det_vars = self.detector.init(
@@ -77,6 +102,32 @@ class FusedPipeline:
             jnp.zeros((1, *self.output_size, 3), jnp.float32),
             jnp.zeros((1, 5, 2), jnp.float32),
         )
+        return det_vars, model_vars
+
+    def load_variables(
+        self,
+        rng: jax.Array,
+        classifier_checkpoint: Optional[str] = None,
+        detector_weights: Optional[str] = None,
+    ):
+        """Init then overlay trained weights (framework .ckpt files)."""
+        from flax import serialization
+
+        from .utils.io_utils import load_checkpoint
+
+        det_vars, model_vars = self.init_variables(rng)
+        if classifier_checkpoint:
+            ckpt = load_checkpoint(classifier_checkpoint)
+            model_vars = {
+                "params": serialization.from_state_dict(model_vars["params"], ckpt["params"]),
+                "batch_stats": serialization.from_state_dict(
+                    model_vars["batch_stats"], ckpt["batch_stats"]
+                ),
+            }
+        if detector_weights:
+            with open(detector_weights, "rb") as f:
+                state = serialization.msgpack_restore(f.read())
+            det_vars = serialization.from_state_dict(det_vars, state)
         return det_vars, model_vars
 
     # ------------------------------------------------------------------

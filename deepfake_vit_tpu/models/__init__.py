@@ -15,6 +15,13 @@ from .feature_extractor import (
     DeepfakeFeatureExtractor,
     create_model_from_config,
 )
+from .scrfd import ScrfdDetector
+from .vit import ViTClassifier, convert_hf_vit
+from .convert import (
+    convert_detection_model,
+    convert_efficientnet_backbone,
+    load_torch_state_dict,
+)
 
 __all__ = [
     "AttentionClassifier",
@@ -27,7 +34,13 @@ __all__ = [
     "HybridAttention",
     "LandmarkAttention",
     "MLPClassifier",
+    "ScrfdDetector",
     "SpatialAttention",
+    "ViTClassifier",
+    "convert_detection_model",
+    "convert_efficientnet_backbone",
+    "convert_hf_vit",
+    "load_torch_state_dict",
     "block_args",
     "create_model_from_config",
     "feature_dim",

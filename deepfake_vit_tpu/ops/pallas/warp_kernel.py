@@ -58,9 +58,10 @@ def _warp_kernel(coef_ref, imgT_ref, out_ref, *, R: int, Ho: int, Wo: int,
     t_iota = jax.lax.broadcasted_iota(jnp.int32, (Hs, n), 0).astype(jnp.float32)
     V = jnp.maximum(0.0, 1.0 - jnp.abs(sy - t_iota)).astype(jnp.bfloat16)
 
-    # Horizontal taps: H_T (Ws, n).
+    # Horizontal taps: H_T (Ws, n), bf16 to halve VPU/VMEM traffic of the
+    # elementwise pass (≤1/255 extra error on uint8-range pixels).
     s_iota = jax.lax.broadcasted_iota(jnp.int32, (Ws, n), 0).astype(jnp.float32)
-    H = jnp.maximum(0.0, 1.0 - jnp.abs(sx - s_iota))
+    H = jnp.maximum(0.0, 1.0 - jnp.abs(sx - s_iota)).astype(jnp.bfloat16)
 
     for ch in range(C):
         imgT = imgT_ref[0, ch]  # (Ws, Hs) bf16, x-major
@@ -68,8 +69,8 @@ def _warp_kernel(coef_ref, imgT_ref, out_ref, *, R: int, Ho: int, Wo: int,
             imgT, V,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (Ws, n)
-        out_ref[0, 0, ch, :] = jnp.sum(P * H, axis=0)
+        ).astype(jnp.bfloat16)  # (Ws, n)
+        out_ref[0, 0, ch, :] = jnp.sum((P * H).astype(jnp.float32), axis=0)
 
 
 @partial(jax.jit, static_argnames=("out_size", "inverse", "row_chunk"))
@@ -84,6 +85,12 @@ def warp_affine_pallas(
 
     images: (B, Hs, Ws, C) float; matrices: (B, 2, 3) src→dst affines
     (inverted internally unless ``inverse``). Returns (B, Ho, Wo, C) f32.
+
+    NOTE a source-row-windowed variant (dynamic sublane slice + in-kernel
+    transpose to cut the matmul K dim) was built and measured 17× SLOWER
+    than this full-K version — Mosaic lowers the per-program transpose and
+    dynamically-offset loads far worse than one big static matmul. Keep the
+    contraction static.
     """
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_size
@@ -97,25 +104,29 @@ def warp_affine_pallas(
         [A_inv.reshape(B, 6), jnp.zeros((B, 2), A_inv.dtype)], axis=1
     ).astype(jnp.float32).reshape(B, 1, 8)
 
-    imgT = jnp.transpose(images.astype(jnp.bfloat16), (0, 3, 2, 1))  # (B,C,Ws,Hs)
-
-    kernel = partial(_warp_kernel, R=R, Ho=Ho, Wo=Wo, Hs=Hs, Ws=Ws, C=C)
-    out = pl.pallas_call(
-        kernel,
+    common = dict(
         grid=(B, n_chunks),
-        in_specs=[
-            pl.BlockSpec((1, 1, 8), lambda bi, ki: (bi, 0, 0), memory_space=pltpu.SMEM),
-            pl.BlockSpec((1, C, Ws, Hs), lambda bi, ki: (bi, 0, 0, 0),
-                         memory_space=pltpu.VMEM),
-        ],
         out_specs=pl.BlockSpec((1, 1, C, R * Wo), lambda bi, ki: (bi, ki, 0, 0),
                                memory_space=pltpu.VMEM),
         out_shape=jax.ShapeDtypeStruct((B, n_chunks, C, R * Wo), jnp.float32),
+    )
+
+    kernel = partial(_warp_kernel, R=R, Ho=Ho, Wo=Wo, Hs=Hs, Ws=Ws, C=C)
+    imgT = jnp.transpose(images.astype(jnp.bfloat16), (0, 3, 2, 1))  # (B,C,Ws,Hs)
+    out = pl.pallas_call(
+        kernel,
+        in_specs=[
+            pl.BlockSpec((1, 1, 8), lambda bi, ki: (bi, 0, 0),
+                         memory_space=pltpu.SMEM),
+            pl.BlockSpec((1, C, Ws, Hs), lambda bi, ki: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         cost_estimate=pl.CostEstimate(
-            flops=2 * B * n_chunks * C * Ws * Hs * R * Wo // 1,
+            flops=2 * B * n_chunks * C * Ws * Hs * R * Wo,
             bytes_accessed=B * C * Ws * Hs * 2 + B * C * Ho * Wo * 4,
             transcendentals=0,
         ),
+        **common,
     )(coeffs, imgT)
 
     # (B, n_chunks, C, R·Wo) → (B, Ho, Wo, C)

@@ -50,22 +50,42 @@ QUALITY_WEIGHTS = dict(
 
 
 def _patch_variance(gray: jnp.ndarray, landmarks: jnp.ndarray, region: int) -> jnp.ndarray:
-    """Mean variance of fixed-size patches centered at the 5 landmarks.
+    """Mean variance of region-sized patches centered at the 5 landmarks.
 
-    gray: (H, W); landmarks: (5, 2) in pixels. Window shifted to stay
-    in-bounds (static shapes for XLA).
+    Integral-image formulation: O(HW) cumsums once, then each patch variance
+    is 8 corner lookups — no per-landmark dynamic slices (which lower to
+    slow gathers on TPU). Windows are CLIPPED at image borders with the true
+    pixel count in the denominator, exactly the reference's semantics
+    (quality_checker.py:227-246).
     """
     H, W = gray.shape
     half = region // 2
-    size = 2 * half if half > 0 else 1
 
-    def one(pt):
-        x = jnp.clip(pt[0].astype(jnp.int32) - half, 0, max(W - size, 0))
-        y = jnp.clip(pt[1].astype(jnp.int32) - half, 0, max(H - size, 0))
-        patch = jax.lax.dynamic_slice(gray, (y, x), (size, size))
-        return jnp.var(patch)
+    # Zero-padded integral images: ii[y, x] = sum of gray[:y, :x].
+    ii = jnp.pad(jnp.cumsum(jnp.cumsum(gray, 0), 1), ((1, 0), (1, 0)))
+    ii2 = jnp.pad(jnp.cumsum(jnp.cumsum(gray * gray, 0), 1), ((1, 0), (1, 0)))
 
-    return jnp.mean(jax.vmap(one)(landmarks))
+    x = landmarks[:, 0].astype(jnp.int32)
+    y = landmarks[:, 1].astype(jnp.int32)
+    x1 = jnp.clip(x - half, 0, W)
+    y1 = jnp.clip(y - half, 0, H)
+    x2 = jnp.clip(x + half, 0, W)
+    y2 = jnp.clip(y + half, 0, H)
+
+    def box(img):
+        return (
+            img[y2, x2] - img[y1, x2] - img[y2, x1] + img[y1, x1]
+        )
+
+    n = jnp.maximum((x2 - x1) * (y2 - y1), 1).astype(gray.dtype)
+    s1 = box(ii)
+    s2 = box(ii2)
+    mean = s1 / n
+    var = s2 / n - mean * mean
+    # Empty windows (landmark fully outside) contribute 0 like the reference
+    # skips them; keep the mean over the 5 landmarks.
+    var = jnp.where((x2 - x1) * (y2 - y1) > 0, var, 0.0)
+    return jnp.mean(var)
 
 
 def quality_scores(

@@ -20,6 +20,8 @@ from .optim import (
     get_learning_rate,
     set_learning_rate,
 )
+from .detection import detection_loss, make_detector_train_step
+from .optim import create_optimizer_with_param_groups
 from .train_state import TrainState, make_eval_step, make_train_step
 from .trainer import Trainer, restore_train_state
 
@@ -37,7 +39,10 @@ __all__ = [
     "combined_loss",
     "contrastive_loss",
     "create_optimizer",
+    "create_optimizer_with_param_groups",
     "create_scheduler",
+    "detection_loss",
+    "make_detector_train_step",
     "cross_entropy_loss",
     "focal_loss",
     "get_learning_rate",

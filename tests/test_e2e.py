@@ -1,0 +1,75 @@
+"""Fused end-to-end pipeline tests on the 8-device virtual mesh
+(BASELINE configs 2/4/5: single-image full pipeline, clip aggregation,
+sharded multi-dataset batch)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfake_vit_tpu.e2e import FusedPipeline
+from deepfake_vit_tpu.parallel import data_parallel_mesh, shard_batch
+
+
+@pytest.fixture(scope="module")
+def pipe():
+    model_cfg = {
+        "model": {
+            "feature_extractor": {"variant": "b0", "dropout_rate": 0.2},
+            "classifier": {"hidden_dims": [16], "num_classes": 2},
+        }
+    }
+    return FusedPipeline(
+        model_cfg["model"] and model_cfg,
+        detection_input_size=(128, 128),
+        output_size=(64, 64),
+        confidence_threshold=0.0,
+        dtype=jnp.float32,
+    )
+
+
+@pytest.fixture(scope="module")
+def variables(pipe):
+    return pipe.init_variables(jax.random.PRNGKey(0))
+
+
+def test_fused_forward_contract(pipe, variables, rng):
+    det_vars, model_vars = variables
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 128, 128, 3)), jnp.float32)
+    out = jax.device_get(pipe.forward(det_vars, model_vars, frames))
+    assert out["probs"].shape == (4, 2)
+    np.testing.assert_allclose(out["probs"].sum(-1), 1.0, rtol=1e-4)
+    assert out["bbox"].shape == (4, 4)
+    assert out["landmarks"].shape == (4, 5, 2)
+    assert out["quality"].shape == (4,)
+    assert np.all((out["quality"] >= 0) & (out["quality"] <= 1))
+    assert out["features"].shape == (4, 1280)
+    assert out["fake_prob"].shape == (4,)
+
+
+def test_clip_aggregation(pipe, variables, rng):
+    det_vars, model_vars = variables
+    frames = rng.uniform(0, 255, (5, 128, 128, 3)).astype(np.float32)
+    result = pipe.predict_clip(det_vars, model_vars, frames)
+    assert result["label"] in (0, 1)
+    assert 0.0 <= result["fake_prob"] <= 1.0
+    assert len(result["frame_probs"]) == 5
+    # mean semantics: label == (mean fake prob >= 0.5) when faces found
+    if result["num_faces"] > 0:
+        probs = [p for p, m in zip(result["frame_probs"], range(5))]
+        assert result["label"] == int(result["fake_prob"] >= 0.5)
+
+
+def test_sharded_pipeline(pipe, variables, rng):
+    mesh = data_parallel_mesh()
+    det_vars, model_vars = variables
+    fwd = pipe.make_sharded(mesh)
+    frames_host = rng.uniform(0, 255, (16, 128, 128, 3)).astype(np.float32)
+    frames = shard_batch({"x": frames_host}, mesh)["x"]
+    out = fwd(det_vars, model_vars, frames)
+    assert len(out["probs"].sharding.device_set) == 8
+    # Sharded result == single-device result
+    ref = pipe.forward(det_vars, model_vars, jnp.asarray(frames_host))
+    np.testing.assert_allclose(
+        np.asarray(out["fake_prob"]), np.asarray(ref["fake_prob"]), atol=2e-3
+    )

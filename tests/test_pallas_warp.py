@@ -23,9 +23,10 @@ def test_pallas_warp_matches_gather(rng, theta, scale):
         out = warp_affine_pallas(jnp.asarray(img), jnp.asarray(Ms), (32, 32))
     ref = warp_affine(jnp.asarray(img), jnp.asarray(Ms), (32, 32))
     err = np.abs(np.asarray(out) - np.asarray(ref))
-    # bf16 taps/pixels: ≤ ~1 unit on the 0-255 scale.
-    assert err.max() < 1.5
-    assert err.mean() < 0.3
+    # bf16 pixels + taps + P intermediate: ≤ ~2.5 units on the 0-255 scale
+    # (≈1% relative), mean well under half a unit.
+    assert err.max() < 2.5
+    assert err.mean() < 0.4
 
 
 def test_pallas_warp_border_zero(rng):
