@@ -72,6 +72,11 @@ class FusedPipeline:
         slice). Returns fn(det_vars, model_vars, frames) with sharded outputs."""
         from jax.sharding import NamedSharding, PartitionSpec as P
 
+        if mesh.devices.size <= 1:
+            # 1-device meshes: explicit shardings are ~150× slower on the
+            # axon runtime — plain jit is semantically identical there.
+            return self.forward
+
         repl = NamedSharding(mesh, P())
         batch = NamedSharding(mesh, P("data"))
         out_sh = {

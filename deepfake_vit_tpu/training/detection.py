@@ -185,7 +185,7 @@ def make_detector_train_step(
         new_params = optax.apply_updates(params, updates)
         return new_params, new_stats, new_opt, losses
 
-    if mesh is not None:
+    if mesh is not None and mesh.devices.size > 1:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         repl = NamedSharding(mesh, P())

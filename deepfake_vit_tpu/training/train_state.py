@@ -146,7 +146,10 @@ def make_train_step(
         )
         return new_state, metrics
 
-    if mesh is not None:
+    if mesh is not None and mesh.devices.size > 1:
+        # NOTE: on a 1-device mesh, explicit NamedSharding in/out_shardings
+        # measured ~150× slower on the axon tunnel runtime (15.5 s vs
+        # ~100 ms/step) — fall through to plain jit below for single-device.
         repl = NamedSharding(mesh, P())
         state_sh = repl
         batch_sh = NamedSharding(mesh, P(DATA_AXIS))
@@ -182,7 +185,7 @@ def make_eval_step(
             "labels": batch["label"],
         }
 
-    if mesh is not None:
+    if mesh is not None and mesh.devices.size > 1:
         repl = NamedSharding(mesh, P())
         batch_sh = NamedSharding(mesh, P(DATA_AXIS))
         out_sh = {
