@@ -40,6 +40,7 @@ _DEFAULTS = dict(
     print_freq=10,
     max_keep=5,
     save_dir="checkpoints",
+    save_best_only=False,
 )
 
 
@@ -134,7 +135,8 @@ class Trainer:
                 lr = get_learning_rate(self.state.opt_state)
 
             is_best = self.tracker.update(epoch, train_metrics, val_metrics, lr)
-            if is_best or (epoch + 1) % self.config["save_freq"] == 0:
+            periodic = (epoch + 1) % self.config["save_freq"] == 0
+            if is_best or (periodic and not self.config["save_best_only"]):
                 self.save_checkpoint(epoch, is_best=is_best)
 
             self._log(

@@ -1,0 +1,186 @@
+#!/usr/bin/env python
+"""High-throughput batch serving driver.
+
+BASELINE configs 4/5: stream a directory of images and videos through the
+fused single-program pipeline (detect→align→quality→classify) in fixed-size
+frame batches, aggregate per file (mean fake-probability over frames with
+faces, threshold 0.5, failure→real — the reference's clip semantics), and
+report faces/sec throughput. Host decode runs in a thread pool overlapped
+with device compute; batches can shard across a mesh.
+
+This is the serving-path counterpart of scripts/predict.py (which optimizes
+per-file latency; this optimizes throughput across many files).
+"""
+
+import argparse
+import csv
+import queue
+import sys
+import threading
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
+VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
+
+
+def frame_producer(files, frame_count, det_size, out_queue, stop):
+    """Decode files → (file_idx, frame RGB float32 at detection size)."""
+    import cv2
+
+    H, W = det_size
+
+    def fit(rgb):
+        h, w = rgb.shape[:2]
+        scale = min(W / w, H / h)
+        nw, nh = int(round(w * scale)), int(round(h * scale))
+        resized = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        canvas = np.zeros((H, W, 3), np.float32)
+        canvas[:nh, :nw] = resized
+        return canvas, scale
+
+    for idx, path in enumerate(files):
+        if stop.is_set():
+            break
+        suffix = path.suffix.lower()
+        try:
+            if suffix in IMAGE_EXTS:
+                bgr = cv2.imread(str(path))
+                if bgr is None:
+                    continue
+                frame, _ = fit(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+                out_queue.put((idx, frame))
+            elif suffix in VIDEO_EXTS:
+                cap = cv2.VideoCapture(str(path))
+                total = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+                indices = np.linspace(0, max(total - 1, 0), min(frame_count, max(total, 1))).astype(int)
+                for fi in indices:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, int(fi))
+                    ok, bgr = cap.read()
+                    if ok:
+                        frame, _ = fit(cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB))
+                        out_queue.put((idx, frame))
+                cap.release()
+        except Exception:
+            continue
+    out_queue.put(None)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Batch serving over the fused pipeline")
+    parser.add_argument("--data-dir", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default=None, help="classifier .ckpt")
+    parser.add_argument("--detector-weights", type=str, default=None)
+    parser.add_argument("--config", type=str, default=None)
+    parser.add_argument("--output", type=str, default="predictions.csv")
+    parser.add_argument("--batch-size", type=int, default=64)
+    parser.add_argument("--det-size", type=int, default=320)
+    parser.add_argument("--frames", type=int, default=5)
+    parser.add_argument("--threshold", type=float, default=0.5)
+    parser.add_argument("--confidence", type=float, default=0.5)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+
+    from deepfake_vit_tpu.e2e import FusedPipeline
+    from deepfake_vit_tpu.parallel import data_parallel_mesh
+    from deepfake_vit_tpu.utils import enable_compilation_cache, load_config, setup_logger
+
+    enable_compilation_cache()
+    logger = setup_logger("run_pipeline")
+
+    cfg_dir = Path(__file__).resolve().parents[1] / "deepfake_vit_tpu" / "configs"
+    model_config = load_config(args.config or cfg_dir / "model_config.yaml")
+
+    det_size = (args.det_size, args.det_size)
+    pipe = FusedPipeline(
+        model_config,
+        detection_input_size=det_size,
+        confidence_threshold=args.confidence,
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        det_vars, model_vars = pipe.load_variables(
+            jax.random.PRNGKey(0),
+            classifier_checkpoint=args.checkpoint,
+            detector_weights=args.detector_weights,
+        )
+    det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
+
+    mesh = data_parallel_mesh()
+    forward = pipe.make_sharded(mesh)
+
+    files = sorted(
+        p for p in Path(args.data_dir).iterdir()
+        if p.suffix.lower() in IMAGE_EXTS | VIDEO_EXTS
+    )
+    logger.info(f"{len(files)} files; batch {args.batch_size}; det {det_size}")
+
+    q: "queue.Queue" = queue.Queue(maxsize=args.batch_size * 3)
+    stop = threading.Event()
+    producer = threading.Thread(
+        target=frame_producer, args=(files, args.frames, det_size, q, stop), daemon=True
+    )
+    producer.start()
+
+    sums = np.zeros(len(files))
+    counts = np.zeros(len(files))
+    buf_frames, buf_idx = [], []
+    n_frames = 0
+    t0 = time.perf_counter()
+
+    def flush():
+        nonlocal buf_frames, buf_idx, n_frames
+        if not buf_frames:
+            return
+        n = len(buf_frames)
+        pad = args.batch_size - n
+        frames = np.stack(buf_frames)
+        if pad:
+            frames = np.concatenate([frames, np.zeros((pad, *det_size, 3), np.float32)])
+        out = jax.device_get(
+            forward(det_vars, model_vars, jnp.asarray(frames))
+        )
+        has = out["has_face"][:n]
+        fake = out["fake_prob"][:n]
+        for k in range(n):
+            if has[k]:
+                sums[buf_idx[k]] += float(fake[k])
+                counts[buf_idx[k]] += 1
+        n_frames += n
+        buf_frames, buf_idx = [], []
+
+    while True:
+        item = q.get()
+        if item is None:
+            break
+        idx, frame = item
+        buf_frames.append(frame)
+        buf_idx.append(idx)
+        if len(buf_frames) == args.batch_size:
+            flush()
+    flush()
+    elapsed = time.perf_counter() - t0
+
+    with open(args.output, "w", newline="") as f:
+        writer = csv.writer(f)
+        writer.writerow(["filename", "label", "fake_prob", "num_faces"])
+        for i, path in enumerate(files):
+            prob = sums[i] / counts[i] if counts[i] else 0.0
+            label = int(prob >= args.threshold and counts[i] > 0)
+            writer.writerow([path.name, label, f"{prob:.4f}", int(counts[i])])
+
+    logger.info(
+        f"{n_frames} frames / {len(files)} files in {elapsed:.1f}s "
+        f"→ {n_frames / elapsed:.1f} faces/s end-to-end (incl. host decode)"
+    )
+    logger.info(f"wrote {args.output}")
+
+
+if __name__ == "__main__":
+    main()

@@ -125,6 +125,7 @@ def main():
             "print_freq": config.get("validation", {}).get("print_freq", 10),
             "save_dir": config.get("checkpoint", {}).get("save_dir", "checkpoints"),
             "max_keep": config.get("checkpoint", {}).get("max_keep", 5),
+            "save_best_only": config.get("checkpoint", {}).get("save_best_only", False),
         },
         use_landmarks=data_cfg.get("use_landmarks", True),
         mesh=mesh,
