@@ -80,6 +80,7 @@ def make_train_step(
     use_landmarks: bool = True,
     mesh: Optional[Mesh] = None,
     donate: bool = True,
+    augment_fn: Optional[Callable] = None,
 ):
     """Build the jitted train step.
 
@@ -87,6 +88,9 @@ def make_train_step(
     the step reshapes to (A, B/A, ...) and scans, averaging gradients —
     semantically identical to the reference's accumulation-normalized
     ``loss / accumulation_steps`` + deferred optimizer step.
+
+    ``augment_fn(batch, rng) -> batch`` (see ops/augment.py) runs inside the
+    step on device — host loaders stay augmentation-free.
     """
 
     def loss_and_grads(params, batch_stats, batch, rng):
@@ -99,6 +103,9 @@ def make_train_step(
 
     def train_step(state: TrainState, batch: Dict[str, jnp.ndarray], rng) -> Tuple[TrainState, Dict]:
         rng = jax.random.fold_in(rng, state.step)
+        if augment_fn is not None:
+            aug_rng, rng = jax.random.split(rng)
+            batch = augment_fn(batch, aug_rng)
 
         if accumulation_steps > 1:
             def micro(i, x):

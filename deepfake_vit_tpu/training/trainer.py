@@ -59,6 +59,7 @@ class Trainer:
         mesh=None,
         rng: Optional[jax.Array] = None,
         logger=None,
+        augment_fn=None,
     ):
         self.model = model
         self.state = state
@@ -79,6 +80,7 @@ class Trainer:
             accumulation_steps=self.config["accumulation_steps"],
             use_landmarks=use_landmarks,
             mesh=mesh,
+            augment_fn=augment_fn,
         )
         self.evaluator = Evaluator(model, criterion, use_landmarks, mesh)
         self.tracker = MetricsTracker()

@@ -27,6 +27,10 @@ def main():
     parser.add_argument("--processed-dir", type=str, default=None)
     parser.add_argument("--output-dir", type=str, default="outputs")
     parser.add_argument("--detailed", action="store_true")
+    parser.add_argument(
+        "--visualize", action="store_true",
+        help="save a prediction grid of the first batch (outputs/eval_grid.png)",
+    )
     args = parser.parse_args()
 
     from deepfake_vit_tpu.data import create_dataloaders
@@ -105,6 +109,19 @@ def main():
 
     out_dir = Path(args.output_dir)
     out_dir.mkdir(parents=True, exist_ok=True)
+
+    if args.visualize:
+        from deepfake_vit_tpu.utils import visualize_batch
+
+        first = next(iter(loader))
+        n = min(len(preds), 16)
+        visualize_batch(
+            np.asarray(first["image"])[:n],
+            labels=labels[:n],
+            predictions=preds[:n],
+            save_path=out_dir / f"eval_grid_{args.split}.png",
+        )
+        logger.info(f"wrote {out_dir}/eval_grid_{args.split}.png")
     save_metrics(
         {k: v for k, v in metrics.items() if isinstance(v, (int, float, list))},
         out_dir / f"eval_{args.split}.json",

@@ -106,6 +106,12 @@ def main():
     n_params = sum(int(np.prod(x.shape)) for x in jax.tree_util.tree_leaves(variables["params"]))
     logger.info(f"model params: {n_params:,}")
 
+    from deepfake_vit_tpu.ops.augment import make_augment_fn
+
+    augment_fn = make_augment_fn(data_cfg.get("augmentation"))
+    if augment_fn is not None:
+        logger.info("on-device augmentation enabled")
+
     trainer = Trainer(
         model,
         state,
@@ -114,6 +120,7 @@ def main():
         train_loader=loaders["train"],
         val_loader=loaders.get("val", loaders["train"]),
         scheduler=scheduler,
+        augment_fn=augment_fn,
         config={
             "num_epochs": args.epochs or train_cfg.get("num_epochs", 100),
             "gradient_clip": train_cfg.get("gradient_clip", 1.0),
