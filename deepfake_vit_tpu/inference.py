@@ -19,7 +19,7 @@ import numpy as np
 
 from .data.dataset import IMAGENET_MEAN, IMAGENET_STD
 from .models import create_model_from_config
-from .preprocessing import FaceAligner, PreprocessingPipeline, create_face_detector
+from .preprocessing import FaceAligner, create_face_detector
 from .training import TrainState, create_optimizer, restore_train_state
 from .utils import load_checkpoint
 

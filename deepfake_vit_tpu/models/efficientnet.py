@@ -13,7 +13,7 @@ directly onto the MXU; activations may run in bfloat16 with fp32 params.
 from __future__ import annotations
 
 import math
-from typing import Any, Dict, Optional, Sequence, Tuple
+from typing import Any, Dict, Tuple
 
 import jax
 import jax.numpy as jnp

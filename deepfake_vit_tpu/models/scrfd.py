@@ -15,7 +15,7 @@ det_10g output layout so converted SCRFD weights drop in per-level.
 
 from __future__ import annotations
 
-from typing import Any, Dict, Sequence, Tuple
+from typing import Any, Dict, Sequence
 
 import jax
 import jax.numpy as jnp

@@ -8,10 +8,10 @@ whole batch of faces instead of five sequential cv2 passes per image:
 - blur: Laplacian variance ≥ blur_threshold (reflect-101 border)
 - brightness: gray mean ∈ [min_brightness, max_brightness]
 - contrast: gray std ≥ min_contrast
-- occlusion: mean variance of 5 landmark-centered patches / 1000, clipped
-  to [0,1], ≥ occlusion_threshold. Patch windows are fixed-size
-  (min(H,W)//10) and shifted inside the image near borders (the reference
-  clips instead — for aligned faces landmarks are interior, so identical).
+- occlusion: mean variance of 5 landmark-centered patches (size
+  min(H,W)//10, windows clipped at borders exactly as the reference clips)
+  / 1000, clipped to [0,1], ≥ occlusion_threshold — computed via integral
+  images (see _patch_variance).
 - detection confidence passes through.
 
 Per-metric normalization and the fixed weight vector
@@ -21,7 +21,6 @@ conf .15} match ``quality_checker.py:111-118, 260-304``.
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Dict, Tuple
 
 import jax

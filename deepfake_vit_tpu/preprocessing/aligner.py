@@ -14,7 +14,7 @@ TPU-native: the estimate + warp run as batched XLA ops
 
 from __future__ import annotations
 
-from typing import Any, Dict, Optional, Tuple
+from typing import Dict, Optional, Tuple
 
 import jax
 import jax.numpy as jnp

@@ -12,7 +12,6 @@ ONNX session, ``face_detector.py:96-110``).
 
 from __future__ import annotations
 
-from functools import partial
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax

@@ -10,7 +10,7 @@ API the reference lacks.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence
+from typing import Any, Dict, List, Optional
 
 import jax.numpy as jnp
 import numpy as np

@@ -19,8 +19,7 @@ self-sufficient rather than dependent on external weight conversion.
 
 from __future__ import annotations
 
-from functools import partial
-from typing import Dict, Optional, Tuple
+from typing import Dict, Tuple
 
 import jax
 import jax.numpy as jnp
