@@ -115,6 +115,7 @@ def process_dataset(
     batch_size: int = 16,
     max_images: Optional[int] = None,
     logger=None,
+    visualize_dir: Optional[Path] = None,
 ) -> List[Dict]:
     log = logger.info if logger else print
     rows: List[Dict] = []
@@ -145,6 +146,15 @@ def process_dataset(
             return
         for out in outputs:
             if out.success:
+                if visualize_dir is not None and len(rows) < 16:
+                    from deepfake_vit_tpu.utils import visualize_pipeline
+
+                    img = images[ids.index(out.image_id)] if out.image_id in ids else None
+                    if img is not None:
+                        visualize_pipeline(
+                            img, out,
+                            save_path=visualize_dir / f"{out.dataset}_{out.label}_{out.image_id}.png",
+                        )
                 try:
                     paths = pipeline.save_output(out, output_dir)
                     rows.append(
@@ -235,10 +245,15 @@ def main():
             continue
         logger.info(f"processing dataset: {name}")
         items = DATASET_LOADERS[name](ds_cfg)
+        visualize_dir = None
+        if args.visualize:
+            visualize_dir = output_dir / "visualizations"
+            visualize_dir.mkdir(parents=True, exist_ok=True)
         all_rows.extend(
             process_dataset(
                 pipeline, items, name, output_dir,
                 batch_size=batch_size, max_images=args.max_images, logger=logger,
+                visualize_dir=visualize_dir,
             )
         )
 

@@ -1,0 +1,144 @@
+#!/usr/bin/env python
+"""Face-detector training CLI.
+
+A capability the reference lacks entirely (it consumes pretrained ONNX
+weights): trains the SCRFD-class detection net in-framework so the
+detection path needs no external weight conversion.
+
+Annotations: a JSON file — list of records
+``{"image": path, "boxes": [[x1,y1,x2,y2], ...],
+   "landmarks": [[[x,y]×5], ...]}`` in original-image pixels (landmarks
+optional; boxes required). Images are letterboxed to ``--input-size`` with
+coordinates scaled accordingly; ground truths pad to ``--max-faces`` with a
+validity mask (static shapes).
+
+Output: ``--save`` msgpack state dict loadable by
+``FaceDetector.load_weights`` and ``FusedPipeline.load_variables``.
+"""
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+import numpy as np
+
+
+def load_annotations(path: str):
+    with open(path) as f:
+        return json.load(f)
+
+
+def make_batch(records, indices, input_size: int, max_faces: int):
+    import cv2
+
+    B = len(indices)
+    images = np.zeros((B, input_size, input_size, 3), np.float32)
+    boxes = np.zeros((B, max_faces, 4), np.float32)
+    kps = np.zeros((B, max_faces, 5, 2), np.float32)
+    valid = np.zeros((B, max_faces), np.float32)
+    for i, idx in enumerate(indices):
+        rec = records[int(idx)]
+        bgr = cv2.imread(rec["image"])
+        if bgr is None:
+            continue
+        rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        h, w = rgb.shape[:2]
+        scale = min(input_size / w, input_size / h)
+        nw, nh = int(round(w * scale)), int(round(h * scale))
+        images[i, :nh, :nw] = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
+        for g, box in enumerate(rec.get("boxes", [])[:max_faces]):
+            boxes[i, g] = np.asarray(box, np.float32) * scale
+            lms = rec.get("landmarks")
+            if lms and g < len(lms):
+                kps[i, g] = np.asarray(lms[g], np.float32) * scale
+            valid[i, g] = 1.0
+    return {"image": images, "boxes": boxes, "kps": kps, "valid": valid}
+
+
+def main():
+    parser = argparse.ArgumentParser(description="Train the SCRFD face detector (TPU)")
+    parser.add_argument("--annotations", type=str, required=True, help="JSON annotation file")
+    parser.add_argument("--save", type=str, default="checkpoints/detector.msgpack")
+    parser.add_argument("--input-size", type=int, default=320)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--epochs", type=int, default=50)
+    parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--max-faces", type=int, default=8)
+    parser.add_argument("--seed", type=int, default=42)
+    args = parser.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    from flax import serialization
+
+    from deepfake_vit_tpu.models.scrfd import ScrfdDetector
+    from deepfake_vit_tpu.parallel import data_parallel_mesh, shard_batch
+    from deepfake_vit_tpu.training import create_optimizer
+    from deepfake_vit_tpu.training.detection import make_detector_train_step
+    from deepfake_vit_tpu.utils import enable_compilation_cache, setup_logger
+
+    enable_compilation_cache()
+    logger = setup_logger("train_detector")
+
+    records = load_annotations(args.annotations)
+    logger.info(f"{len(records)} annotated images")
+    size = (args.input_size, args.input_size)
+
+    model = ScrfdDetector()
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        variables = model.init(
+            jax.random.PRNGKey(args.seed), jnp.zeros((1, *size, 3), jnp.float32)
+        )
+    optimizer = create_optimizer({"type": "AdamW", "lr": args.lr}, gradient_clip=5.0)
+    with jax.default_device(cpu):
+        opt_state = optimizer.init(variables["params"])
+
+    dev = jax.devices()[0]
+    params = jax.device_put(variables["params"], dev)
+    stats = jax.device_put(variables["batch_stats"], dev)
+    opt_state = jax.device_put(opt_state, dev)
+
+    mesh = data_parallel_mesh()
+    step = make_detector_train_step(model, optimizer, size, mesh)
+
+    rng = np.random.default_rng(args.seed)
+    n = len(records)
+    steps_per_epoch = max(n // args.batch_size, 1)
+    for epoch in range(args.epochs):
+        order = rng.permutation(n)
+        t0 = time.perf_counter()
+        losses = []
+        for s in range(steps_per_epoch):
+            idx = order[s * args.batch_size : (s + 1) * args.batch_size]
+            if len(idx) < args.batch_size:
+                break
+            batch = shard_batch(
+                make_batch(records, idx, args.input_size, args.max_faces), mesh
+            )
+            params, stats, opt_state, metrics = step(params, stats, opt_state, batch)
+            losses.append(metrics)
+        m = {k: float(np.mean([jax.device_get(x[k]) for x in losses])) for k in
+             ("total", "cls", "box", "kps")} if losses else {}
+        logger.info(
+            f"[epoch {epoch + 1}/{args.epochs}] "
+            + " ".join(f"{k}={v:.4f}" for k, v in m.items())
+            + f" ({time.perf_counter() - t0:.1f}s)"
+        )
+
+    out = Path(args.save)
+    out.parent.mkdir(parents=True, exist_ok=True)
+    state_dict = serialization.to_state_dict(
+        {"params": jax.device_get(params), "batch_stats": jax.device_get(stats)}
+    )
+    with open(out, "wb") as f:
+        f.write(serialization.msgpack_serialize(state_dict))
+    logger.info(f"saved detector weights → {out}")
+
+
+if __name__ == "__main__":
+    main()
