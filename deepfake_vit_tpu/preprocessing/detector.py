@@ -174,6 +174,15 @@ def create_face_detector(config: Dict[str, Any]) -> FaceDetector:
         input_size=tuple(scrfd_cfg.get("input_size", (640, 640))),
         max_detections=scrfd_cfg.get("max_detections", 64),
     )
+    if model == "mtcnn":
+        # Reference configs may request MTCNN (its fallback detector,
+        # face_detector.py:292-297 falls back MTCNN↔RetinaFace on import
+        # errors). The TPU stack has one detector family; honor the config
+        # gracefully the same way the reference degrades.
+        import warnings
+
+        warnings.warn("detector 'mtcnn' not provided on TPU; using the SCRFD-class detector")
+        model = "scrfd"
     if model in ("scrfd", "retinaface"):
         det = ScrfdFaceDetector(**kwargs)
         path = scrfd_cfg.get("pretrained_path")

@@ -52,18 +52,27 @@ def _forward_loss(
     batch: Dict[str, jnp.ndarray],
     dropout_rng,
     use_landmarks: bool,
+    remat: bool = False,
 ):
     variables = {"params": params, "batch_stats": batch_stats}
     landmarks = batch.get("landmarks") if use_landmarks else None
-    (logits, features), mutated = model.apply(
-        variables,
-        batch["image"],
-        landmarks,
-        train=True,
-        return_features=True,
-        rngs={"dropout": dropout_rng},
-        mutable=["batch_stats"],
-    )
+
+    def apply_fn(variables, image, landmarks):
+        return model.apply(
+            variables,
+            image,
+            landmarks,
+            train=True,
+            return_features=True,
+            rngs={"dropout": dropout_rng},
+            mutable=["batch_stats"],
+        )
+
+    if remat:
+        # Rematerialize activations in the backward pass — trades FLOPs for
+        # HBM so larger per-chip batches fit (jax.checkpoint).
+        apply_fn = jax.checkpoint(apply_fn)
+    (logits, features), mutated = apply_fn(variables, batch["image"], landmarks)
     losses = criterion(logits, batch["label"], features)
     acc = jnp.mean((jnp.argmax(logits, -1) == batch["label"]).astype(jnp.float32))
     metrics = {f"loss_{k}": v for k, v in losses.items()}
@@ -81,6 +90,7 @@ def make_train_step(
     mesh: Optional[Mesh] = None,
     donate: bool = True,
     augment_fn: Optional[Callable] = None,
+    remat: bool = False,
 ):
     """Build the jitted train step.
 
@@ -95,7 +105,8 @@ def make_train_step(
 
     def loss_and_grads(params, batch_stats, batch, rng):
         grad_fn = jax.value_and_grad(
-            lambda p: _forward_loss(model, criterion, p, batch_stats, batch, rng, use_landmarks),
+            lambda p: _forward_loss(model, criterion, p, batch_stats, batch, rng,
+                                    use_landmarks, remat),
             has_aux=True,
         )
         (_, (new_stats, metrics)), grads = grad_fn(params)

@@ -41,6 +41,7 @@ _DEFAULTS = dict(
     max_keep=5,
     save_dir="checkpoints",
     save_best_only=False,
+    remat=False,
 )
 
 
@@ -81,6 +82,7 @@ class Trainer:
             use_landmarks=use_landmarks,
             mesh=mesh,
             augment_fn=augment_fn,
+            remat=self.config["remat"],
         )
         self.evaluator = Evaluator(model, criterion, use_landmarks, mesh)
         self.tracker = MetricsTracker()

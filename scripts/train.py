@@ -126,6 +126,7 @@ def main():
             "gradient_clip": train_cfg.get("gradient_clip", 1.0),
             "accumulation_steps": train_cfg.get("accumulation_steps", 1),
             "use_amp": train_cfg.get("use_amp", True),
+            "remat": train_cfg.get("remat", False),
             "early_stopping_patience": config.get("early_stopping", {}).get("patience", 15),
             "early_stopping_min_delta": config.get("early_stopping", {}).get("min_delta", 1e-3),
             "save_freq": config.get("validation", {}).get("save_freq", 5),

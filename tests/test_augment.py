@@ -81,3 +81,31 @@ def test_train_step_with_augmentation(rng):
     step = make_train_step(model, crit, opt, augment_fn=aug, donate=False)
     s, m = step(state, batch, jax.random.PRNGKey(2))
     assert np.isfinite(float(m["loss"]))
+
+
+def test_train_step_with_remat(rng):
+    """remat=True produces the same loss as remat=False (it only changes
+    what the backward rematerializes)."""
+    import jax
+    import jax.numpy as jnp
+    from deepfake_vit_tpu.models import DeepfakeDetectionModel
+    from deepfake_vit_tpu.training import TrainState, create_optimizer, make_criterion, make_train_step
+
+    model = DeepfakeDetectionModel(
+        variant="b0", classifier_hidden_dims=(8,), feature_dropout_rate=0.0, dropout_rate=0.0
+    )
+    opt = create_optimizer({"type": "SGD", "lr": 1e-2, "momentum": 0.0, "nesterov": False})
+    crit = make_criterion({"type": "CrossEntropy"})
+    batch = {
+        "image": jnp.asarray(rng.normal(0, 1, (4, 32, 32, 3)), jnp.float32),
+        "label": jnp.asarray([0, 1, 0, 1], jnp.int32),
+        "landmarks": jnp.asarray(rng.uniform(0, 32, (4, 5, 2)), jnp.float32),
+    }
+    v = model.init({"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+                   batch["image"], batch["landmarks"])
+    state = TrainState.create(v["params"], v["batch_stats"], opt.init(v["params"]))
+    key = jax.random.PRNGKey(2)
+    s1, m1 = make_train_step(model, crit, opt, donate=False, remat=False)(state, batch, key)
+    s2, m2 = make_train_step(model, crit, opt, donate=False, remat=True)(state, batch, key)
+    np.testing.assert_allclose(float(m1["loss"]), float(m2["loss"]), rtol=1e-5)
+    np.testing.assert_allclose(float(m1["grad_norm"]), float(m2["grad_norm"]), rtol=1e-3)
