@@ -73,3 +73,39 @@ def test_sharded_pipeline(pipe, variables, rng):
     np.testing.assert_allclose(
         np.asarray(out["fake_prob"]), np.asarray(ref["fake_prob"]), atol=2e-3
     )
+
+
+def test_video_clip_frame_axis_mesh(pipe, variables, rng):
+    """Video scaling contract (SURVEY §5): the frame axis is a named mesh
+    dimension — clips shard over 'data', frames over 'frame', and the
+    clip-level mean crosses the frame axis via an XLA-inserted collective."""
+    from deepfake_vit_tpu.parallel import make_mesh
+    from jax.sharding import NamedSharding, PartitionSpec as P
+
+    mesh = make_mesh(("data", "frame"), (4, 2))
+    det_vars, model_vars = variables
+
+    C, F = 4, 4  # 4 clips × 4 frames
+    clips_host = rng.uniform(0, 255, (C, F, 128, 128, 3)).astype(np.float32)
+
+    def clip_graph(det_vars, model_vars, clips):
+        flat = clips.reshape(C * F, *clips.shape[2:])
+        out = pipe._graph(det_vars, model_vars, flat)
+        fake = out["fake_prob"].reshape(C, F)
+        has = out["has_face"].reshape(C, F).astype(jnp.float32)
+        mean_fake = jnp.sum(fake * has, axis=1) / jnp.maximum(jnp.sum(has, axis=1), 1.0)
+        return mean_fake  # (C,) — reduction over the frame-sharded axis
+
+    repl = NamedSharding(mesh, P())
+    clip_sh = NamedSharding(mesh, P("data", "frame"))
+    fwd = jax.jit(
+        clip_graph,
+        in_shardings=(repl, repl, clip_sh),
+        out_shardings=NamedSharding(mesh, P("data")),
+    )
+    clips = jax.device_put(clips_host, clip_sh)
+    out = fwd(det_vars, model_vars, clips)
+    assert out.shape == (C,)
+    # Equivalence with the unsharded computation
+    ref = clip_graph(det_vars, model_vars, jnp.asarray(clips_host))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
