@@ -194,3 +194,22 @@ def test_nms_batched_shapes():
     idx, valid = nms_batched(boxes, scores, max_outputs=8)
     assert idx.shape == (3, 8) and valid.shape == (3, 8)
     assert not np.asarray(valid).any()  # all scores below threshold
+
+
+def test_warp_affine_matmul_matches_gather(rng):
+    from deepfake_vit_tpu.ops.warp import warp_affine_matmul
+
+    img = rng.uniform(0, 255, size=(2, 72, 80, 3)).astype(np.float32)
+    theta = 0.2
+    M = np.asarray(
+        [[0.9 * np.cos(theta), -0.9 * np.sin(theta), 6.0],
+         [0.9 * np.sin(theta), 0.9 * np.cos(theta), -2.0]], np.float32)
+    Ms = np.tile(M, (2, 1, 1))
+    ref = warp_affine(jnp.asarray(img), jnp.asarray(Ms), (48, 48))
+    exact = warp_affine_matmul(
+        jnp.asarray(img), jnp.asarray(Ms), (48, 48),
+        compute_dtype=jnp.float32, window=72,
+    )
+    np.testing.assert_allclose(np.asarray(exact), np.asarray(ref), atol=5e-3)
+    fast = warp_affine_matmul(jnp.asarray(img), jnp.asarray(Ms), (48, 48), window=72)
+    assert float(jnp.abs(fast - ref).max()) < 2.5  # bf16 taps
