@@ -49,6 +49,10 @@ def main():
         Path(__file__).resolve().parents[1] / "deepfake_vit_tpu" / "configs" / "model_config.yaml"
     )
     config = load_config(config_path)
+
+    from deepfake_vit_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     logger = setup_logger("evaluate")
 
     mesh = make_mesh(tuple(config.get("hardware", {}).get("mesh_axes") or ("data",)))

@@ -60,6 +60,10 @@ def main():
     from deepfake_vit_tpu.utils import load_config, setup_logger
 
     logger = setup_logger("predict")
+
+    from deepfake_vit_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     pkg_cfg = Path(__file__).resolve().parents[1] / "deepfake_vit_tpu" / "configs"
     model_config = load_config(args.config or pkg_cfg / "model_config.yaml")
     pre_config = load_config(args.preprocessing_config or pkg_cfg / "preprocessing_config.yaml")

@@ -223,6 +223,10 @@ def main():
     from deepfake_vit_tpu.utils import load_config, save_json, setup_logger
 
     config = load_config(args.config)
+
+    from deepfake_vit_tpu.utils import enable_compilation_cache
+
+    enable_compilation_cache()
     log_cfg = config.get("logging", {})
     log_file = None
     if log_cfg.get("log_dir"):
