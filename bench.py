@@ -80,17 +80,65 @@ def main():
           file=sys.stderr)
 
     if "--full" in sys.argv:
-        # classify-only (BASELINE config 1: forward on pre-aligned crops)
-        from deepfake_vit_tpu.models import DeepfakeDetectionModel
+        import gc
 
+        import numpy as _np
+
+        from deepfake_vit_tpu.models import DeepfakeDetectionModel
+        from deepfake_vit_tpu.training import (
+            TrainState, create_optimizer, make_criterion, make_train_step,
+        )
+
+        # Free the e2e pipeline's device buffers before compiling the train
+        # step: XLA sizes rematerialization to the HBM free at compile time,
+        # and a step compiled under pressure stays slow afterwards.
+        del det_vars, model_vars, frames, pipe
+        gc.collect()
+
+        # classify-only (BASELINE config 1: forward on pre-aligned crops)
         model = DeepfakeDetectionModel(variant="b4", dtype=jnp.bfloat16)
         rng = jax.random.PRNGKey(0)
-        imgs = jnp.zeros((64, 224, 224, 3), jnp.float32)
-        lms = jnp.full((64, 5, 2), 112.0, jnp.float32)
-        variables = model.init({"params": rng, "dropout": rng}, imgs, lms)
+        imgs = jnp.asarray(
+            _np.random.default_rng(1).normal(0, 1, (64, 224, 224, 3)), jnp.float32
+        )
+        lms = jnp.asarray(
+            _np.random.default_rng(2).uniform(0, 224, (64, 5, 2)), jnp.float32
+        )
+        with jax.default_device(cpu):
+            variables = model.init(
+                {"params": rng, "dropout": rng},
+                _np.zeros((1, 224, 224, 3), _np.float32),
+                _np.zeros((1, 5, 2), _np.float32),
+            )
+        variables_dev = jax.device_put(variables, jax.devices()[0])
         fwd = jax.jit(lambda v, i, l: model.apply(v, i, l, train=False)[0])
-        t_cls = _time_fn(fwd, variables, imgs, lms, iters=10, warmup=2)
+        t_cls = _time_fn(fwd, variables_dev, imgs, lms, iters=10, warmup=2)
         print(f"classify-only: {64 / t_cls:.1f} faces/s ({t_cls*1e3:.2f} ms / batch 64)",
+              file=sys.stderr)
+
+        # training step (BASELINE config 3: CombinedLoss fwd+bwd+AdamW)
+        opt = create_optimizer({"type": "AdamW", "lr": 1e-4}, gradient_clip=1.0)
+        crit = make_criterion({"type": "CombinedLoss"})
+        with jax.default_device(cpu):
+            state = TrainState.create(
+                variables["params"], variables["batch_stats"], opt.init(variables["params"])
+            )
+        state = jax.device_put(state, jax.devices()[0])
+        batch = {
+            "image": imgs,
+            "label": jnp.asarray(_np.arange(64, dtype=_np.int32) % 2),
+            "landmarks": lms,
+        }
+        step = make_train_step(model, crit, opt, mesh=None, donate=False)
+        key = jax.random.PRNGKey(1)
+        s, m = step(state, batch, key)
+        _sync(m)
+        t0 = time.perf_counter()
+        for _ in range(10):
+            s, m = step(s, batch, key)
+        _sync(m)
+        t_tr = (time.perf_counter() - t0) / 10
+        print(f"train-step: {64 / t_tr:.1f} samples/s ({t_tr*1e3:.2f} ms / batch 64)",
               file=sys.stderr)
 
     print(json.dumps({
