@@ -59,8 +59,11 @@ def main():
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 
     # --- end-to-end fused pipeline ---------------------------------------
-    det_size = (320, 320)  # detection canvas; classification at 224
-    batch = 64
+    det_size = (320, 320)  # detection canvas; classification at 224.
+    # Config sensitivity (measured, BASELINE.md): 256² canvas → ~2.8k faces/s;
+    # batch 128 at 320² → ~2.44k. Headline keeps the conservative 320² canvas
+    # with the throughput-optimal batch.
+    batch = 128
     pipe = FusedPipeline(model_config, detection_input_size=det_size,
                          confidence_threshold=0.0)
     # Initialize on the host CPU backend (local, fast compile), then move to
