@@ -1,5 +1,6 @@
 """On-device augmentation (ops/augment.py): semantics + train-step wiring."""
 
+import pytest
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -62,6 +63,7 @@ def test_make_augment_fn_config_gating(rng):
     np.testing.assert_array_equal(np.asarray(out["label"]), 0)
 
 
+@pytest.mark.slow
 def test_train_step_with_augmentation(rng):
     from deepfake_vit_tpu.models import DeepfakeDetectionModel
     from deepfake_vit_tpu.training import TrainState, create_optimizer, make_criterion, make_train_step
@@ -83,6 +85,7 @@ def test_train_step_with_augmentation(rng):
     assert np.isfinite(float(m["loss"]))
 
 
+@pytest.mark.slow
 def test_train_step_with_remat(rng):
     """remat=True produces the same loss as remat=False (it only changes
     what the backward rematerializes)."""

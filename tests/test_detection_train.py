@@ -48,6 +48,7 @@ def test_iou_loss_perfect_and_disjoint():
     np.testing.assert_allclose(np.asarray(iou_loss(a, b)), 1.0, atol=1e-6)
 
 
+@pytest.mark.slow
 def test_detector_overfits_synthetic():
     model = ScrfdDetector(widths=(8, 16, 24, 32), fpn_width=16, head_width=16, head_depth=1)
     size = (64, 64)

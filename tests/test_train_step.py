@@ -52,6 +52,7 @@ def test_devices_available():
     assert len(jax.devices()) == 8
 
 
+@pytest.mark.slow
 def test_sharded_train_step_runs_and_learns(rng):
     mesh = data_parallel_mesh()
     model = tiny_model()
@@ -75,6 +76,7 @@ def test_sharded_train_step_runs_and_learns(rng):
     assert int(s.step) == 9
 
 
+@pytest.mark.slow
 def test_accumulation_matches_full_batch(rng):
     """Grad accumulation over microbatches ≈ one full-batch step (BN stats differ slightly)."""
     mesh = data_parallel_mesh(1)
@@ -114,6 +116,7 @@ def test_scheduler_lr_injection():
     assert min(lrs) >= 1e-6
 
 
+@pytest.mark.slow
 def test_trainer_end_to_end_with_checkpoint(rng, tmp_path):
     mesh = data_parallel_mesh()
     model = tiny_model()
