@@ -59,13 +59,18 @@ def main():
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 
     # --- end-to-end fused pipeline ---------------------------------------
-    det_size = (320, 320)  # detection canvas; classification at 224.
-    # Config sensitivity (measured, BASELINE.md): 256² canvas → ~2.8k faces/s;
-    # batch 128 at 320² → ~2.44k. Headline keeps the conservative 320² canvas
-    # with the throughput-optimal batch.
+    # Headline config: frames enter at the reference's 640² resolution
+    # (preprocessing_config.yaml:12-15 detects at 640²); the SCRFD forward
+    # runs on a pooled 320² canvas and alignment warps from the ORIGINAL
+    # 640² pixels via the windowed mip-pyramid warp — strictly higher crop
+    # fidelity than detecting-and-warping at 320², at detection cost of the
+    # 320² canvas (choice quantified by the detector-quality acceptance
+    # tests, tests/test_detector_trained.py).
+    serving = (640, 640)
+    det_size = (320, 320)
     batch = 128
     pipe = FusedPipeline(model_config, detection_input_size=det_size,
-                         confidence_threshold=0.0)
+                         serving_size=serving, confidence_threshold=0.0)
     # Initialize on the host CPU backend (local, fast compile), then move to
     # the accelerator — compiles over the TPU tunnel cost minutes each.
     cpu = jax.devices("cpu")[0]
@@ -73,19 +78,34 @@ def main():
         det_vars, model_vars = pipe.init_variables(jax.random.PRNGKey(0))
     det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
     frames = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 255, size=(batch, *det_size, 3)),
+        np.random.default_rng(0).uniform(0, 255, size=(batch, *serving, 3)),
         jnp.float32,
     )
 
     t = _time_fn(pipe.forward, det_vars, model_vars, frames, iters=10, warmup=2)
     e2e_fps = batch / t
-    print(f"end-to-end: {e2e_fps:.1f} faces/s (batch {batch}, {t*1e3:.2f} ms/step)",
-          file=sys.stderr)
+    print(f"end-to-end: {e2e_fps:.1f} faces/s (batch {batch}, {t*1e3:.2f} ms/step, "
+          f"serving 640² / detect 320²)", file=sys.stderr)
 
     if "--full" in sys.argv:
         import gc
 
         import numpy as _np
+
+        # Secondary e2e configs (BASELINE.md history / reference-equivalence):
+        # (a) full 640² detection canvas — exactly the reference's detector
+        #     resolution end to end; (b) round-1's 320² serving canvas.
+        for name, srv, det in (
+            ("e2e 640² detect", (640, 640), (640, 640)),
+            ("e2e 320² canvas (round-1 cfg)", (320, 320), (320, 320)),
+        ):
+            p2 = FusedPipeline(model_config, detection_input_size=det,
+                               serving_size=srv, confidence_threshold=0.0)
+            fr2 = frames[:, :srv[0], :srv[1], :]
+            t2 = _time_fn(p2.forward, det_vars, model_vars, fr2, iters=10, warmup=2)
+            print(f"{name}: {fr2.shape[0] / t2:.1f} faces/s ({t2*1e3:.2f} ms/step)",
+                  file=sys.stderr)
+            del p2, fr2
 
         from deepfake_vit_tpu.models import DeepfakeDetectionModel
         from deepfake_vit_tpu.training import (

@@ -27,7 +27,7 @@ from .ops.anchors import STRIDES, all_anchor_centers, decode_boxes, decode_landm
 from .ops.image import IMAGENET_MEAN, IMAGENET_STD
 from .ops.quality import overall_quality
 from .ops.umeyama import transform_points, umeyama
-from .ops.warp import warp_affine_auto
+from .ops.warp import _avg_pool2, warp_affine_auto, warp_affine_windowed
 from .preprocessing.aligner import DEFAULT_REFERENCE_LANDMARKS, _LANDMARK_ORDER
 
 
@@ -47,11 +47,34 @@ class FusedPipeline:
         output_size: Tuple[int, int] = (224, 224),
         confidence_threshold: float = 0.5,
         reference_landmarks: Optional[Dict[str, Tuple[float, float]]] = None,
+        serving_size: Optional[Tuple[int, int]] = None,
+        warp_window: int = 160,
         dtype=jnp.bfloat16,
     ):
+        """serving_size decouples the FRAME resolution from the detection
+        canvas: frames enter at serving_size, are average-pooled by the
+        (power-of-2) ratio for the SCRFD forward, and alignment warps from
+        the ORIGINAL serving-resolution pixels via the windowed warp — the
+        reference aligns from the original image too
+        (``face_aligner.py:102-128``); round 1 warped from the downscaled
+        canvas, losing detail for small faces. Default: serving == detection
+        canvas (still windowed-warped when the frame exceeds warp_window)."""
         self.detector = ScrfdDetector(dtype=dtype)
         self.model = create_model_from_config(model_config.get("model", {}), dtype=dtype)
-        self.input_size = detection_input_size
+        self.input_size = tuple(detection_input_size)
+        self.serving_size = tuple(serving_size or detection_input_size)
+        self.warp_window = warp_window
+        ratio = self.serving_size[0] // self.input_size[0]
+        if (
+            self.serving_size[0] != self.input_size[0] * ratio
+            or self.serving_size[1] != self.input_size[1] * ratio
+            or ratio & (ratio - 1)
+        ):
+            raise ValueError(
+                f"serving_size {self.serving_size} must be a power-of-2 "
+                f"multiple of detection_input_size {self.input_size}"
+            )
+        self._pool_ratio = ratio
         self.output_size = tuple(output_size)
         self.confidence_threshold = confidence_threshold
 
@@ -137,12 +160,19 @@ class FusedPipeline:
 
     # ------------------------------------------------------------------
     def _graph(self, det_vars, model_vars, frames: jnp.ndarray):
-        """frames: (B, H, W, 3) float32 RGB [0, 255] at detection size."""
+        """frames: (B, H, W, 3) float32 RGB [0, 255] at SERVING size."""
         B = frames.shape[0]
+
+        # 0. Detection canvas: average-pool the serving frames down by the
+        #    power-of-2 ratio (cheap, dense, MXU-free).
+        det_frames = frames
+        r = self._pool_ratio
+        while det_frames.shape[1] > self.input_size[0]:
+            det_frames = _avg_pool2(det_frames)
 
         # 1. Detection network + decode (best face only → argmax, no NMS
         #    needed for keep_top_k=1 semantics of the reference).
-        x = (frames - 127.5) / 128.0
+        x = (det_frames - 127.5) / 128.0
         outs = self.detector.apply(det_vars, x, train=False)
         scores = jnp.concatenate(
             [jax.nn.sigmoid(outs[s]["scores"]) for s in STRIDES], axis=1
@@ -158,10 +188,23 @@ class FusedPipeline:
         lms = jnp.take_along_axis(landmarks, best[:, None, None, None], axis=1)[:, 0]
         has_face = conf >= self.confidence_threshold
 
-        # 2. Alignment: batched Umeyama + warp.
+        # Canvas → serving coords (pixel centers: u_s = r·u + (r−1)/2), so
+        # alignment reads original-resolution pixels and bbox/face-size
+        # checks are in original pixels like the reference's.
+        if r > 1:
+            shift = 0.5 * (r - 1)
+            bbox = bbox * r + shift
+            lms = lms * r + shift
+
+        # 2. Alignment: batched Umeyama + warp from the serving frames.
         ref = jnp.broadcast_to(self.reference, lms.shape)
         tform = umeyama(lms, ref)
-        aligned = warp_affine_auto(frames, tform, self.output_size)  # [0,255]
+        if min(self.serving_size) > self.warp_window:
+            aligned = warp_affine_windowed(
+                frames, tform, self.output_size, window=self.warp_window
+            )
+        else:
+            aligned = warp_affine_auto(frames, tform, self.output_size)
         aligned_lms = transform_points(tform, lms)
 
         # 3. Quality scoring on the aligned face (fused).

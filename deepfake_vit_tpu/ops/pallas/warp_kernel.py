@@ -132,3 +132,71 @@ def warp_affine_pallas(
     # (B, n_chunks, C, R·Wo) → (B, Ho, Wo, C)
     out = out.reshape(B, n_chunks, C, R, Wo)
     return jnp.transpose(out, (0, 1, 3, 4, 2)).reshape(B, Ho, Wo, C)
+
+
+# ---------------------------------------------------------------------------
+# Windowed crop: per-image dynamic offsets without gathers
+# ---------------------------------------------------------------------------
+
+
+def _crop_kernel(y8_ref, x0c_ref, img_ref, out_ref, *, WcC: int):
+    del y8_ref  # consumed by the index_map only
+    b = pl.program_id(0)
+    strip = img_ref[0]  # (ROWS, Ws·C) — rows already offset via index_map
+    rolled = pltpu.roll(strip, -x0c_ref[b], axis=1)
+    out_ref[0] = rolled[:, :WcC]
+
+
+@partial(jax.jit, static_argnames=("window",))
+def crop_window_pallas(
+    images: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray, window: int
+) -> jnp.ndarray:
+    """Extract per-image (window, window) crops at dynamic offsets.
+
+    TPU has no fast gather; this kernel gets dynamic offsets for free
+    instead: the ROW offset selects which 8-row HBM blocks are DMA'd into
+    VMEM (scalar-prefetch index_map — y0 must be a multiple of 8), and the
+    COLUMN offset is a lane rotation of each strip (arbitrary alignment).
+    Only the window's rows ever leave HBM.
+
+    images: (B, H, W, C) float32; y0/x0: (B,) int32 top-left corners,
+    0 ≤ y0 ≤ H−window (×8), 0 ≤ x0 ≤ W−window. Returns (B, window, window, C).
+    """
+    B, H, W, C = images.shape
+    ROWS = 8
+    WsC, WcC = W * C, window * C
+    # tpu.dynamic_rotate needs a lane-aligned operand: pad W·C up to a
+    # multiple of 128. The pad is junk-safe — max lane read is
+    # WcC−1 + max(x0)·C = W·C − 1, never into the padding.
+    WsC_pad = -(-WsC // 128) * 128
+    y8 = (y0 // ROWS).astype(jnp.int32)
+    x0c = (x0 * C).astype(jnp.int32)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, window // ROWS),
+        in_specs=[
+            pl.BlockSpec(
+                (1, ROWS, WsC_pad), lambda b, r, y8, x0c: (b, y8[b] + r, 0),
+                memory_space=pltpu.VMEM,
+            ),
+        ],
+        out_specs=pl.BlockSpec(
+            (1, ROWS, WcC), lambda b, r, y8, x0c: (b, r, 0),
+            memory_space=pltpu.VMEM,
+        ),
+    )
+    out = pl.pallas_call(
+        partial(_crop_kernel, WcC=WcC),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((B, window, WcC), jnp.float32),
+        cost_estimate=pl.CostEstimate(
+            flops=0,
+            bytes_accessed=B * window * (WsC_pad + WcC) * 4,
+            transcendentals=0,
+        ),
+    )
+    flat = images.reshape(B, H, WsC).astype(jnp.float32)
+    if WsC_pad != WsC:
+        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, WsC_pad - WsC)))
+    return out(y8, x0c, flat).reshape(B, window, window, C)

@@ -12,7 +12,7 @@ SURVEY.md §7 hard part 2).
 from __future__ import annotations
 
 from functools import partial
-from typing import Tuple
+from typing import Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -197,6 +197,176 @@ def math_gcd_chunk(total: int, preferred: int) -> int:
         if total % c == 0:
             return c
     return 1
+
+
+# ---------------------------------------------------------------------------
+# Windowed warp: crop a face-sized window from a mip pyramid, then warp
+# ---------------------------------------------------------------------------
+#
+# The dense one-hot-matmul warp's cost scales with SOURCE area (the MXU
+# contraction is K = source height; the VPU tap build is O(source·output)).
+# But the output quad of a face alignment covers only a small part of the
+# frame: cropping a static ``window``² region around the quad first shrinks
+# K from the frame size to the window regardless of frame resolution —
+# which is also what makes warping from the ORIGINAL-resolution frame
+# affordable (the reference aligns from the original image,
+# ``face_aligner.py:102-128``; round 1 warped from the downscaled detection
+# canvas, a fidelity divergence).
+#
+# Faces larger than the window use a coarser mip level (2× average-pooled),
+# picked per image so the output resamples its source at a rate in
+# [~0.5, 1] — standard mipmapping; small faces (the common case) read the
+# original pixels exactly, bit-identical to the full-frame warp.
+
+
+def _avg_pool2(images: jnp.ndarray) -> jnp.ndarray:
+    B, H, W, C = images.shape
+    return images.reshape(B, H // 2, 2, W // 2, 2, C).mean(axis=(2, 4))
+
+
+def max_window_levels(src_hw: Tuple[int, int], window: int) -> int:
+    """Number of usable mip levels: every level must still contain a full
+    window and keep the row-offset range 8-aligned."""
+    H, W = src_hw
+    levels = 1
+    while (
+        H % (2 ** levels) == 0
+        and W % (2 ** levels) == 0
+        and (H >> levels) >= window
+        and (W >> levels) >= window
+    ):
+        levels += 1
+    return levels
+
+
+def window_geometry(
+    A_inv: jnp.ndarray,
+    out_size: Tuple[int, int],
+    src_hw: Tuple[int, int],
+    window: int,
+    levels: int,
+):
+    """Per-image mip level, crop offsets, and window-space affine.
+
+    A_inv: (B, 2, 3) dst→src affines in ORIGINAL source coords.
+    Returns (level (B,) int32, y0s (levels, B), x0s (levels, B),
+    A_win (B, 2, 3) dst→window affines for the selected level).
+
+    Level ℓ is the smallest whose 2⁻ℓ-scaled output quad (+1px bilinear
+    margin each side) fits the window, honoring the 8-row alignment slack;
+    the quad may exceed the FRAME freely — out-of-frame taps fall outside
+    the clipped window and get zero tri-weight, i.e. BORDER_CONSTANT=0.
+    """
+    Ho, Wo = out_size
+    Hs, Ws = src_hw
+    a, b = A_inv[:, 0, 0], A_inv[:, 0, 1]
+    c = A_inv[:, 0, 2]
+    d, e = A_inv[:, 1, 0], A_inv[:, 1, 1]
+    f = A_inv[:, 1, 2]
+    jm, im = float(Wo - 1), float(Ho - 1)
+
+    span_x = jnp.abs(a) * jm + jnp.abs(b) * im  # quad extent, level 0
+    span_y = jnp.abs(d) * jm + jnp.abs(e) * im
+    cx = (a * jm + b * im) * 0.5 + c  # quad center, level 0
+    cy = (d * jm + e * im) * 0.5 + f
+
+    # fits[ℓ] is monotone in ℓ, so level = #{ℓ < L−1 : not fits[ℓ]}.
+    level = jnp.zeros(a.shape, jnp.int32)
+    for l in range(levels - 1):
+        fit = ((span_x / 2**l + 2.0) <= window - 1) & (
+            (span_y / 2**l + 2.0) <= window - 8
+        )
+        level = level + (~fit).astype(jnp.int32)
+
+    y0s, x0s = [], []
+    for l in range(levels):
+        scale = 2.0 ** -l
+        off = 0.5 * (1.0 - scale)  # pixel-center shift of 2× avg-pooling
+        cx_l = cx * scale - off
+        cy_l = cy * scale - off
+        Wl, Hl = Ws >> l, Hs >> l
+        x0 = jnp.clip(
+            jnp.round(cx_l - window / 2).astype(jnp.int32), 0, Wl - window
+        )
+        y0_raw = jnp.floor((cy_l - window / 2) / 8.0).astype(jnp.int32) * 8
+        y0 = jnp.clip(y0_raw, 0, Hl - window)
+        x0s.append(x0)
+        y0s.append(y0)
+
+    x0_sel = jnp.stack(x0s)[level, jnp.arange(level.shape[0])]
+    y0_sel = jnp.stack(y0s)[level, jnp.arange(level.shape[0])]
+    scale = 2.0 ** -level.astype(jnp.float32)
+    off = 0.5 * (1.0 - scale)
+    A_win = jnp.stack(
+        [
+            jnp.stack([a * scale, b * scale, c * scale - off - x0_sel], -1),
+            jnp.stack([d * scale, e * scale, f * scale - off - y0_sel], -1),
+        ],
+        axis=1,
+    )
+    return level, jnp.stack(y0s), jnp.stack(x0s), A_win
+
+
+def _crop_window_xla(images, y0, x0, window):
+    """Gather-based crop for CPU/parity paths (fine off-TPU)."""
+
+    def one(img, y, x):
+        return jax.lax.dynamic_slice(img, (y, x, 0), (window, window, img.shape[2]))
+
+    return jax.vmap(one)(images, y0, x0)
+
+
+def warp_affine_windowed(
+    images: jnp.ndarray,
+    matrices: jnp.ndarray,
+    out_size: Tuple[int, int],
+    window: int = 160,
+    levels: Optional[int] = None,
+    inverse: bool = False,
+    use_pallas: Optional[bool] = None,
+) -> jnp.ndarray:
+    """Affine warp via per-image window crop from a mip pyramid.
+
+    Same contract as :func:`warp_affine` with border_value=0, but cost is
+    O(window²·output) instead of O(frame²·output): ~3× faster at a 320²
+    source and the only affordable route from original-resolution frames.
+    Exactly equal to the full warp whenever the output quad (+1px) fits the
+    window at level 0; larger faces sample a 2ˡ× average-pooled level.
+    """
+    B, Hs, Ws, C = images.shape
+    if levels is None:
+        levels = max_window_levels((Hs, Ws), window)
+    if min(Hs, Ws) < window:
+        raise ValueError(f"window {window} exceeds source {Hs}×{Ws}")
+    if Hs % 8 or window % 8:
+        raise ValueError("source height and window must be multiples of 8")
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
+
+    images = images.astype(jnp.float32)
+    A_inv = matrices if inverse else invert_affine(matrices)
+    level, y0s, x0s, A_win = window_geometry(
+        A_inv, out_size, (Hs, Ws), window, levels
+    )
+
+    if use_pallas:
+        from .pallas.warp_kernel import crop_window_pallas, warp_affine_pallas
+
+        crop_fn, warp_fn = crop_window_pallas, warp_affine_pallas
+    else:
+        crop_fn = _crop_window_xla
+        warp_fn = warp_affine
+
+    pyr = images
+    crop = None
+    for l in range(levels):
+        cand = crop_fn(pyr, y0s[l], x0s[l], window)
+        crop = cand if crop is None else jnp.where(
+            (level == l)[:, None, None, None], cand, crop
+        )
+        if l + 1 < levels:
+            pyr = _avg_pool2(pyr)
+    return warp_fn(crop, A_win, out_size, inverse=True)
 
 
 def warp_affine_auto(

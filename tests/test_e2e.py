@@ -109,3 +109,39 @@ def test_video_clip_frame_axis_mesh(pipe, variables, rng):
     # Equivalence with the unsharded computation
     ref = clip_graph(det_vars, model_vars, jnp.asarray(clips_host))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref), atol=2e-3)
+
+
+def test_serving_size_decoupled_from_detection(rng):
+    """serving_size frames: detector runs on the pooled canvas, alignment
+    warps from original-resolution pixels, coords reported in serving px."""
+    model_cfg = {
+        "model": {
+            "feature_extractor": {"variant": "b0", "dropout_rate": 0.2},
+            "classifier": {"hidden_dims": [16], "num_classes": 2},
+        }
+    }
+    pipe = FusedPipeline(
+        model_cfg,
+        detection_input_size=(128, 128),
+        serving_size=(256, 256),
+        output_size=(64, 64),
+        warp_window=160,
+        confidence_threshold=0.0,
+        dtype=jnp.float32,
+    )
+    det_vars, model_vars = pipe.init_variables(jax.random.PRNGKey(0))
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 256, 256, 3)), jnp.float32)
+    out = jax.device_get(pipe.forward(det_vars, model_vars, frames))
+    assert out["probs"].shape == (4, 2)
+    assert out["bbox"].shape == (4, 4)
+    # bbox in serving coords: decode clamps to the canvas, so scaled boxes
+    # may reach the serving extent but not beyond
+    assert np.all(out["bbox"] <= 256.5) and np.all(out["bbox"] >= -0.5)
+
+    def test_bad_ratio():
+        FusedPipeline(model_cfg, detection_input_size=(128, 128), serving_size=(384, 384))
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError):
+        test_bad_ratio()

@@ -1,0 +1,109 @@
+"""Windowed (mip-pyramid) warp: exactness at level 0, pooled-reference at
+level 1, geometry/level selection — the op that lets alignment read
+original-resolution pixels (reference ``face_aligner.py:102-128``) at
+O(window²) cost instead of O(frame²)."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from deepfake_vit_tpu.ops.umeyama import umeyama
+from deepfake_vit_tpu.ops.warp import (
+    _avg_pool2,
+    invert_affine,
+    max_window_levels,
+    warp_affine,
+    warp_affine_windowed,
+    window_geometry,
+)
+
+REF5 = np.array(
+    [[69.4, 71.7], [154.6, 71.7], [112.0, 123.2], [78.4, 168.0], [145.6, 168.0]],
+    np.float32,
+)
+
+
+def _face_transforms(rng, B, frame, scale_lo, scale_hi):
+    out = []
+    for _ in range(B):
+        scale = rng.uniform(scale_lo, scale_hi)
+        theta = rng.uniform(-0.4, 0.4)
+        cx, cy = rng.uniform(frame * 0.3, frame * 0.7, 2)
+        R = scale * np.array(
+            [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+        )
+        out.append(REF5 @ R.T + [cx - 112 * scale, cy - 112 * scale])
+    lms = jnp.asarray(np.stack(out))
+    return umeyama(lms, jnp.broadcast_to(jnp.asarray(REF5), (B, 5, 2)))
+
+
+def test_level0_matches_full_warp(rng):
+    B, S = 8, 320
+    img = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), jnp.float32)
+    tf = _face_transforms(rng, B, S, 0.3, 0.5)
+    full = np.asarray(warp_affine(img, tf, (224, 224)))
+    win = np.asarray(warp_affine_windowed(img, tf, (224, 224), window=160))
+    level, _, _, _ = window_geometry(
+        invert_affine(tf), (224, 224), (S, S), 160, 2
+    )
+    lv = np.asarray(level)
+    err = np.abs(full - win).reshape(B, -1).max(1)
+    assert (lv == 0).sum() >= B // 2, "fixture should produce mostly-small faces"
+    assert err[lv == 0].max() < 1e-2
+
+
+def test_level1_matches_pooled_warp(rng):
+    B, S = 8, 320
+    img = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), jnp.float32)
+    tf = _face_transforms(rng, B, S, 0.95, 1.3)  # big faces → level 1
+    win = np.asarray(warp_affine_windowed(img, tf, (224, 224), window=160))
+    level, y0s, x0s, A_win = window_geometry(
+        invert_affine(tf), (224, 224), (S, S), 160, 2
+    )
+    assert np.asarray(level).min() == 1
+    A1 = np.asarray(A_win).copy()
+    A1[:, 0, 2] += np.asarray(x0s[1])
+    A1[:, 1, 2] += np.asarray(y0s[1])
+    ref = np.asarray(
+        warp_affine(_avg_pool2(img), jnp.asarray(A1), (224, 224), inverse=True)
+    )
+    assert np.abs(ref - win).max() < 1e-3
+
+
+def test_border_zero_outside_frame(rng):
+    """A face near the frame edge: out-of-frame taps must be 0 (cv2
+    BORDER_CONSTANT) even though the window is clipped inside the frame."""
+    B, S = 2, 320
+    img = jnp.asarray(rng.uniform(1, 255, (B, S, S, 3)), jnp.float32)
+    out = []
+    for cx, cy in [(10.0, 160.0), (310.0, 15.0)]:  # centers near edges
+        scale = 0.35
+        out.append(REF5 * scale + [cx - 112 * scale, cy - 112 * scale])
+    lms = jnp.asarray(np.stack(out))
+    tf = umeyama(lms, jnp.broadcast_to(jnp.asarray(REF5), (B, 5, 2)))
+    full = np.asarray(warp_affine(img, tf, (224, 224)))
+    win = np.asarray(warp_affine_windowed(img, tf, (224, 224), window=160))
+    np.testing.assert_allclose(win, full, atol=1e-2)
+    assert (full == 0).any(), "fixture should map some output outside the frame"
+
+
+def test_max_window_levels():
+    assert max_window_levels((640, 640), 160) == 3
+    assert max_window_levels((320, 320), 160) == 2
+    assert max_window_levels((160, 160), 160) == 1
+    assert max_window_levels((320, 320), 128) == 2  # 320/4=80 < 128
+
+
+def test_y0_alignment_and_bounds(rng):
+    B, S, W = 16, 320, 160
+    tf = _face_transforms(rng, B, S, 0.3, 1.4)
+    level, y0s, x0s, _ = window_geometry(
+        invert_affine(tf), (224, 224), (S, S), W, 2
+    )
+    for l in range(2):
+        Sl = S >> l
+        y0, x0 = np.asarray(y0s[l]), np.asarray(x0s[l])
+        assert (y0 % 8 == 0).all()
+        assert (y0 >= 0).all() and (y0 <= Sl - W).all()
+        assert (x0 >= 0).all() and (x0 <= Sl - W).all()
