@@ -208,3 +208,211 @@ def test_full_model_conversion_structure(rng):
         imgs, lms, return_features=True,
     )
     assert logits.shape == (2, 2) and np.isfinite(np.asarray(logits)).all()
+
+
+# ---------------------------------------------------------------------------
+# Full-network golden parity (VERDICT round-1 item 5): a complete torch
+# replica of the reference DeepfakeDetectionModel — stem → all MBConv blocks
+# → head conv → hybrid attention (landmark σ=1.5 Gaussians / SE / CBAM) →
+# GAP → MLP head (reference feature_extractor.py:184-299,
+# landmark_attention.py:13-310) — converted via convert_detection_model and
+# checked end-to-end against the flax model, covering every converted tensor.
+# ---------------------------------------------------------------------------
+
+
+class _TorchBackboneCore(tnn.Module):
+    """efficientnet-pytorch layout: _conv_stem/_bn0/_blocks.N/_conv_head/_bn1."""
+
+    def __init__(self, variant="b0"):
+        super().__init__()
+        from deepfake_vit_tpu.models.efficientnet import (
+            VARIANT_PARAMS,
+            feature_dim,
+            round_filters,
+        )
+
+        width = VARIANT_PARAMS[variant][0]
+        stem = round_filters(32, width)
+        self._conv_stem = tnn.Conv2d(3, stem, 3, stride=2, bias=False)
+        self._bn0 = tnn.BatchNorm2d(stem, eps=1e-3, momentum=0.01)
+        self._blocks = tnn.ModuleList(
+            [
+                TorchMBConv(
+                    a["in_filters"], a["out_filters"], a["kernel"], a["stride"],
+                    a["expand_ratio"], a["se_ratio"],
+                )
+                for a in block_args(variant)
+            ]
+        )
+        last = block_args(variant)[-1]["out_filters"]
+        self._conv_head = tnn.Conv2d(last, feature_dim(variant), 1, bias=False)
+        self._bn1 = tnn.BatchNorm2d(feature_dim(variant), eps=1e-3, momentum=0.01)
+
+    def forward(self, x):
+        x = tf_same_pad(x, 3, 2)
+        x = tF.silu(self._bn0(self._conv_stem(x)))
+        for b in self._blocks:
+            x = b(x)
+        return tF.silu(self._bn1(self._conv_head(x)))
+
+
+class _TorchBackboneWrap(tnn.Module):
+    def __init__(self, variant):
+        super().__init__()
+        self.backbone = _TorchBackboneCore(variant)
+
+    def forward(self, x):
+        return self.backbone(x)
+
+
+class _TorchLandmarkAttn(tnn.Module):
+    """Reference landmark_attention.py:13-130: σ=1.5 Gaussians, learnable
+    5-weights, batch-global max norm, clamp [0.1, 1.0]."""
+
+    def __init__(self, sigma=1.5, input_size=224.0):
+        super().__init__()
+        self.attention_weights = tnn.Parameter(torch.ones(5))
+        self.sigma, self.input_size = sigma, input_size
+
+    def forward(self, x, landmarks):
+        B, C, H, W = x.shape
+        scale = torch.tensor([W / self.input_size, H / self.input_size])
+        lm = landmarks * scale  # (B, 5, 2)
+        ys = torch.arange(H, dtype=torch.float32)
+        xs = torch.arange(W, dtype=torch.float32)
+        dy = ys[None, None, :, None] - lm[:, :, 1][:, :, None, None]
+        dx = xs[None, None, None, :] - lm[:, :, 0][:, :, None, None]
+        gauss = torch.exp(-(dx * dx + dy * dy) / (2.0 * self.sigma**2))
+        gauss = gauss * self.attention_weights[None, :, None, None]
+        amap = gauss.sum(1, keepdim=True)
+        amap = amap / (amap.max() + 1e-8)
+        return x * amap.clamp(0.1, 1.0)
+
+
+class _TorchChannelAttn(tnn.Module):
+    def __init__(self, channels, reduction=16):
+        super().__init__()
+        self.fc = tnn.Sequential(
+            tnn.Linear(channels, channels // reduction, bias=False),
+            tnn.ReLU(),
+            tnn.Linear(channels // reduction, channels, bias=False),
+        )
+
+    def forward(self, x):
+        avg = x.mean((2, 3))
+        mx = x.amax((2, 3))
+        scale = torch.sigmoid(self.fc(avg) + self.fc(mx))
+        return x * scale[:, :, None, None]
+
+
+class _TorchSpatialAttn(tnn.Module):
+    def __init__(self, kernel=7):
+        super().__init__()
+        self.conv = tnn.Conv2d(2, 1, kernel, padding=kernel // 2, bias=False)
+
+    def forward(self, x):
+        avg = x.mean(1, keepdim=True)
+        mx = x.amax(1, keepdim=True)
+        return x * torch.sigmoid(self.conv(torch.cat([avg, mx], 1)))
+
+
+class _TorchHybridAttn(tnn.Module):
+    def __init__(self, channels):
+        super().__init__()
+        self.landmark_attn = _TorchLandmarkAttn()
+        self.channel_attn = _TorchChannelAttn(channels)
+        self.spatial_attn = _TorchSpatialAttn()
+
+    def forward(self, x, landmarks):
+        x = self.landmark_attn(x, landmarks)
+        x = self.channel_attn(x)
+        return self.spatial_attn(x)
+
+
+class _TorchFeatureExtractor(tnn.Module):
+    def __init__(self, variant):
+        super().__init__()
+        from deepfake_vit_tpu.models.efficientnet import feature_dim
+
+        self.backbone = _TorchBackboneWrap(variant)
+        self.attention = _TorchHybridAttn(feature_dim(variant))
+
+    def forward(self, x, landmarks):
+        maps = self.backbone(x)
+        maps = self.attention(maps, landmarks)
+        return tF.adaptive_avg_pool2d(maps, 1).flatten(1)
+
+
+class TorchDeepfakeModel(tnn.Module):
+    """Reference feature_extractor.py:184-299 layout (state-dict compatible)."""
+
+    def __init__(self, variant="b0", hidden=(64, 16), num_classes=2):
+        super().__init__()
+        from deepfake_vit_tpu.models.efficientnet import feature_dim
+
+        self.feature_extractor = _TorchFeatureExtractor(variant)
+        layers = []
+        dims = [feature_dim(variant), *hidden]
+        for din, dout in zip(dims[:-1], dims[1:]):
+            layers += [tnn.Linear(din, dout), tnn.BatchNorm1d(dout), tnn.ReLU(), tnn.Dropout(0.4)]
+        layers.append(tnn.Linear(hidden[-1], num_classes))
+        self.classifier = tnn.Sequential(*layers)
+
+    def forward(self, x, landmarks):
+        feats = self.feature_extractor(x, landmarks)
+        return self.classifier(feats), feats
+
+
+@pytest.mark.slow
+def test_full_network_golden_parity(rng):
+    """End-to-end logits parity: torch replica → convert → flax apply."""
+    hidden = (64, 16)
+    tmodel = TorchDeepfakeModel(variant="b0", hidden=hidden).eval()
+
+    # Randomize every BN's running stats so parity covers normalization.
+    sd = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()}
+    for k in list(sd):
+        if k.endswith("running_var"):
+            sd[k] = np.abs(rng.normal(1.0, 0.2, sd[k].shape)).astype(np.float32)
+        elif k.endswith("running_mean"):
+            sd[k] = rng.normal(0.0, 0.2, sd[k].shape).astype(np.float32)
+    tmodel.load_state_dict(
+        {k: torch.tensor(v) for k, v in sd.items()}, strict=False
+    )
+    sd = {k: v.detach().numpy().copy() for k, v in tmodel.state_dict().items()
+          if "num_batches_tracked" not in k}
+
+    variables = convert_detection_model(sd, variant="b0", hidden_dims=hidden)
+
+    fmodel = DeepfakeDetectionModel(variant="b0", classifier_hidden_dims=hidden)
+    imgs = rng.normal(0, 1, (2, 224, 224, 3)).astype(np.float32)
+    lms = rng.uniform(40, 180, (2, 5, 2)).astype(np.float32)
+
+    # Structural completeness: the converted tree must exactly match init.
+    ref = fmodel.init(
+        {"params": jax.random.PRNGKey(0), "dropout": jax.random.PRNGKey(1)},
+        jnp.asarray(imgs), jnp.asarray(lms),
+    )
+    assert_tree_shapes_match(
+        variables["params"], jax.tree_util.tree_map(np.asarray, ref["params"])
+    )
+    assert_tree_shapes_match(
+        variables["batch_stats"], jax.tree_util.tree_map(np.asarray, ref["batch_stats"])
+    )
+
+    logits_f, feats_f = fmodel.apply(
+        {"params": variables["params"], "batch_stats": variables["batch_stats"]},
+        jnp.asarray(imgs), jnp.asarray(lms), return_features=True,
+    )
+
+    with torch.no_grad():
+        logits_t, feats_t = tmodel(
+            torch.tensor(imgs.transpose(0, 3, 1, 2)), torch.tensor(lms)
+        )
+
+    np.testing.assert_allclose(
+        np.asarray(feats_f), feats_t.numpy(), atol=1e-3, rtol=1e-3
+    )
+    np.testing.assert_allclose(
+        np.asarray(logits_f), logits_t.numpy(), atol=1e-3, rtol=1e-3
+    )
