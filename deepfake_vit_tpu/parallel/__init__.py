@@ -5,6 +5,7 @@ from .mesh import (
     batch_sharding,
     data_parallel_mesh,
     make_mesh,
+    maybe_initialize_distributed,
     replicated,
     shard_batch,
 )
@@ -16,6 +17,7 @@ __all__ = [
     "batch_sharding",
     "data_parallel_mesh",
     "make_mesh",
+    "maybe_initialize_distributed",
     "replicated",
     "shard_batch",
 ]

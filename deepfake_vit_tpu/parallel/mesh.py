@@ -24,6 +24,37 @@ FRAME_AXIS = "frame"
 MODEL_AXIS = "model"
 
 
+def maybe_initialize_distributed(
+    coordinator: Optional[str] = None,
+    num_processes: Optional[int] = None,
+    process_id: Optional[int] = None,
+) -> bool:
+    """Multi-process bootstrap (``jax.distributed.initialize``).
+
+    The SURVEY §2.10 plan's missing piece in round 1: brings up the JAX
+    coordination service so ``jax.devices()`` spans all processes and
+    ``jax.process_index()/process_count()`` drive the HostLoader's
+    per-process stripes. Parameters come from the arguments or from the
+    environment (``DFV_COORDINATOR``, ``DFV_NUM_PROCESSES``,
+    ``DFV_PROCESS_ID``; on TPU pods JAX can also auto-detect all three).
+    No-op (returns False) when neither arguments nor env are present, so
+    single-process runs are unaffected.
+    """
+    coordinator = coordinator or os.environ.get("DFV_COORDINATOR")
+    if num_processes is None and os.environ.get("DFV_NUM_PROCESSES"):
+        num_processes = int(os.environ["DFV_NUM_PROCESSES"])
+    if process_id is None and os.environ.get("DFV_PROCESS_ID"):
+        process_id = int(os.environ["DFV_PROCESS_ID"])
+    if coordinator is None and num_processes is None:
+        return False
+    jax.distributed.initialize(
+        coordinator_address=coordinator,
+        num_processes=num_processes,
+        process_id=process_id,
+    )
+    return True
+
+
 def make_mesh(
     axis_names: Sequence[str] = (DATA_AXIS,),
     axis_sizes: Optional[Sequence[int]] = None,

@@ -55,10 +55,22 @@ def main():
     )
     config = load_config(config_path)
 
+    # Multi-process bootstrap BEFORE any backend initialization: no-op
+    # unless DFV_COORDINATOR/DFV_NUM_PROCESSES/DFV_PROCESS_ID (or TPU-pod
+    # auto-detection inputs) are present.
+    from deepfake_vit_tpu.parallel import maybe_initialize_distributed
+
+    distributed = maybe_initialize_distributed()
+
     from deepfake_vit_tpu.utils import enable_compilation_cache
 
     enable_compilation_cache()
     logger = setup_logger("train", Path(config.get("logging", {}).get("log_dir", "runs")) / "train.log")
+    if distributed:
+        logger.info(
+            f"distributed: process {jax.process_index()}/{jax.process_count()}, "
+            f"{jax.local_device_count()} local of {jax.device_count()} devices"
+        )
 
     seed = int(config.get("seed", 42))
     rng = set_seed(seed)
