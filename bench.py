@@ -75,7 +75,9 @@ def main():
     # the accelerator — compiles over the TPU tunnel cost minutes each.
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
-        det_vars, model_vars = pipe.init_variables(jax.random.PRNGKey(0))
+        # load_variables overlays the committed trained detector weights
+        # (same FLOPs as random init; keeps the headline number honest).
+        det_vars, model_vars = pipe.load_variables(jax.random.PRNGKey(0))
     det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
     frames = jnp.asarray(
         np.random.default_rng(0).uniform(0, 255, size=(batch, *serving, 3)),
@@ -138,6 +140,30 @@ def main():
         t_cls = _time_fn(fwd, variables_dev, imgs, lms, iters=10, warmup=2)
         print(f"classify-only: {64 / t_cls:.1f} faces/s ({t_cls*1e3:.2f} ms / batch 64)",
               file=sys.stderr)
+
+        # classify-only through the fused-stage Pallas backbone (the path
+        # the headline e2e uses; this isolates its classify speedup).
+        from deepfake_vit_tpu.models.fused_backbone import FusedBackboneRunner
+
+        def fused_fwd(v, i, l):
+            runner = FusedBackboneRunner(
+                "b4",
+                v["params"]["feature_extractor"]["backbone"],
+                v["batch_stats"]["feature_extractor"]["backbone"],
+                image_size=224,
+            )
+            x_tail = runner(i.astype(jnp.bfloat16))
+            return model.apply(v, x_tail, l, train=False,
+                               backbone_start_block=runner.tail_start)[0]
+
+        try:
+            fwd_fused = jax.jit(fused_fwd)
+            t_clf = _time_fn(fwd_fused, variables_dev, imgs, lms, iters=10, warmup=2)
+            print(f"classify-only (fused stages): {64 / t_clf:.1f} faces/s "
+                  f"({t_clf*1e3:.2f} ms / batch 64)", file=sys.stderr)
+        except Exception as e:  # secondary metric only — never kill the bench
+            print(f"classify-only (fused stages): failed ({type(e).__name__})",
+                  file=sys.stderr)
 
         # training step (BASELINE config 3: CombinedLoss fwd+bwd+AdamW)
         opt = create_optimizer({"type": "AdamW", "lr": 1e-4}, gradient_clip=1.0)

@@ -50,6 +50,7 @@ class FusedPipeline:
         serving_size: Optional[Tuple[int, int]] = None,
         warp_window: int = 160,
         dtype=jnp.bfloat16,
+        use_fused_backbone: bool = False,
     ):
         """serving_size decouples the FRAME resolution from the detection
         canvas: frames enter at serving_size, are average-pooled by the
@@ -64,6 +65,9 @@ class FusedPipeline:
         self.input_size = tuple(detection_input_size)
         self.serving_size = tuple(serving_size or detection_input_size)
         self.warp_window = warp_window
+        # Mosaic kernels only lower on TPU; CPU (tests, virtual meshes)
+        # falls back to the XLA backbone automatically.
+        self.use_fused_backbone = use_fused_backbone and jax.default_backend() == "tpu"
         ratio = self.serving_size[0] // self.input_size[0]
         if (
             self.serving_size[0] != self.input_size[0] * ratio
@@ -136,13 +140,20 @@ class FusedPipeline:
         self,
         rng: jax.Array,
         classifier_checkpoint: Optional[str] = None,
-        detector_weights: Optional[str] = None,
+        detector_weights: Optional[str] = "default",
     ):
-        """Init then overlay trained weights (framework .ckpt files)."""
+        """Init then overlay trained weights (framework .ckpt files).
+
+        ``detector_weights="default"`` loads the committed in-framework-
+        trained SCRFD weights when present (pass None to keep random init).
+        """
         from flax import serialization
 
+        from .preprocessing.detector import default_weights_path
         from .utils.io_utils import load_checkpoint
 
+        if detector_weights == "default":
+            detector_weights = default_weights_path()
         det_vars, model_vars = self.init_variables(rng)
         if classifier_checkpoint:
             ckpt = load_checkpoint(classifier_checkpoint)
@@ -210,11 +221,29 @@ class FusedPipeline:
         # 3. Quality scoring on the aligned face (fused).
         quality, q_valid, _ = overall_quality(aligned, aligned_lms, bbox, conf)
 
-        # 4. Classification.
+        # 4. Classification. The bandwidth-bound early backbone stages run
+        #    in the fused Pallas kernels (models/fused_backbone.py); the
+        #    late stages + attention + head stay on XLA. BN folding happens
+        #    on the traced params — constant-folded by XLA after jit.
         norm = (aligned / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
-        logits, features = self.model.apply(
-            model_vars, norm, aligned_lms, train=False, return_features=True
-        )
+        if self.use_fused_backbone:
+            from .models.fused_backbone import FusedBackboneRunner
+
+            runner = FusedBackboneRunner(
+                self.model.variant,
+                model_vars["params"]["feature_extractor"]["backbone"],
+                model_vars["batch_stats"]["feature_extractor"]["backbone"],
+                image_size=self.output_size[0],
+            )
+            x_tail = runner(norm.astype(jnp.bfloat16))
+            logits, features = self.model.apply(
+                model_vars, x_tail, aligned_lms, train=False,
+                return_features=True, backbone_start_block=runner.tail_start,
+            )
+        else:
+            logits, features = self.model.apply(
+                model_vars, norm, aligned_lms, train=False, return_features=True
+            )
         probs = jax.nn.softmax(logits, axis=-1)
 
         return {

@@ -148,5 +148,13 @@ class _ScrfdHead(nn.Module):
 
 
 def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
+    """2× nearest upsample as broadcast+reshape.
+
+    Equivalent to jax.image.resize(..., 'nearest') but with a trivial
+    transpose (sum-reduce) — resize's gather lowers to a scatter in the
+    backward pass, which is both slow and pathologically expensive for the
+    TPU compiler in the detector's training graph.
+    """
     B, H, W, C = x.shape
-    return jax.image.resize(x, (B, H * 2, W * 2, C), method="nearest")
+    y = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
+    return y.reshape(B, H * 2, W * 2, C)

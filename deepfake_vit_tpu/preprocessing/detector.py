@@ -12,6 +12,7 @@ ONNX session, ``face_detector.py:96-110``).
 
 from __future__ import annotations
 
+from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
 import jax
@@ -22,6 +23,36 @@ from ..models.scrfd import ScrfdDetector
 from ..ops.anchors import STRIDES, all_anchor_centers
 from ..ops.anchors import decode_boxes, decode_landmarks
 from ..ops.nms import nms_batched
+
+# In-framework-trained weights (scripts/train_detector.py --synthetic;
+# acceptance-tested in tests/test_detector_trained.py). Loaded by default so
+# shipped pipelines detect out of the box — the TPU-native stand-in for the
+# reference's pretrained buffalo_l download (face_detector.py:220-227).
+_WEIGHTS_DIR = Path(__file__).resolve().parents[1] / "weights"
+DEFAULT_WEIGHTS = _WEIGHTS_DIR / "scrfd_synface.msgpack"
+DEFAULT_WEIGHTS_BY_MODEL = {
+    "scrfd": DEFAULT_WEIGHTS,
+    "mtcnn": _WEIGHTS_DIR / "mtcnn_lite_synface.msgpack",
+}
+
+
+def default_weights_path(model: str = "scrfd") -> Optional[str]:
+    """Path to the committed detector weights, or None if absent."""
+    p = DEFAULT_WEIGHTS_BY_MODEL.get(model)
+    return str(p) if p is not None and p.exists() else None
+
+
+def build_detection_net(model: str = "scrfd", dtype=jnp.float32):
+    """Detection net factory shared by FaceDetector / FusedPipeline /
+    train_detector: 'scrfd' (production, RetinaFace-class) or 'mtcnn'
+    (the lightweight second family, models/mtcnn_lite.py)."""
+    if model in ("scrfd", "retinaface"):
+        return ScrfdDetector(dtype=dtype)
+    if model == "mtcnn":
+        from ..models.mtcnn_lite import MtcnnLiteDetector
+
+        return MtcnnLiteDetector(dtype=dtype)
+    raise ValueError(f"unknown detector model: {model}")
 
 
 class FaceDetector:
@@ -36,18 +67,24 @@ class FaceDetector:
         max_detections: int = 64,
         params: Optional[Dict[str, Any]] = None,
         seed: int = 0,
+        pretrained: bool = True,
+        model_name: str = "scrfd",
     ):
         self.confidence_threshold = confidence_threshold
         self.nms_threshold = nms_threshold
         self.keep_top_k = keep_top_k
         self.input_size = tuple(input_size)
         self.max_detections = max_detections
+        self.model_name = model_name
 
-        self.model = ScrfdDetector()
+        self.model = build_detection_net(model_name)
         if params is None:
             dummy = jnp.zeros((1, *self.input_size, 3), jnp.float32)
             variables = self.model.init(jax.random.PRNGKey(seed), dummy)
             self.variables = variables
+            default = default_weights_path(model_name)
+            if pretrained and default:
+                self.load_weights(default)
         else:
             self.variables = params
 
@@ -175,18 +212,15 @@ def create_face_detector(config: Dict[str, Any]) -> FaceDetector:
         max_detections=scrfd_cfg.get("max_detections", 64),
     )
     if model == "mtcnn":
-        # Reference configs may request MTCNN (its fallback detector,
-        # face_detector.py:292-297 falls back MTCNN↔RetinaFace on import
-        # errors). The TPU stack has one detector family; honor the config
-        # gracefully the same way the reference degrades.
-        import warnings
-
-        warnings.warn("detector 'mtcnn' not provided on TPU; using the SCRFD-class detector")
-        model = "scrfd"
-    if model in ("scrfd", "retinaface"):
+        # The reference's fallback detector family (face_detector.py:12-192)
+        # — provided here as the in-framework MTCNN-Lite net
+        # (models/mtcnn_lite.py), same host API and decode machinery.
+        det = FaceDetector(model_name="mtcnn", **kwargs)
+    elif model in ("scrfd", "retinaface"):
         det = ScrfdFaceDetector(**kwargs)
-        path = scrfd_cfg.get("pretrained_path")
-        if path:
-            det.load_weights(path)
-        return det
-    raise ValueError(f"unknown detector model: {model}")
+    else:
+        raise ValueError(f"unknown detector model: {model}")
+    path = scrfd_cfg.get("pretrained_path")
+    if path:
+        det.load_weights(path)
+    return det

@@ -1,0 +1,128 @@
+#!/usr/bin/env python
+"""End-to-end training-to-AUC experiment with an attention ablation.
+
+Real face data cannot reach this environment, so the strongest available
+evidence for the architecture's semantics (VERDICT round-1 item 6) is built
+here: procedurally rendered faces where "fake" = the same face with
+localized deepfake-style artifacts at landmark regions
+(``data/synth_faces.py::render_labeled_face``). The experiment drives the
+REAL production path end to end:
+
+1. render a raw real/fake corpus (GenAI disk layout),
+2. ``scripts/preprocess_dataset.py`` — detection with the trained SCRFD
+   weights, alignment, quality, splits,
+3. ``scripts/train.py`` twice from one config template: full hybrid
+   attention vs. ablated (no landmark attention), identical seeds/epochs,
+4. ``scripts/evaluate.py`` on the shared test split → ROC-AUC per arm.
+
+Prints one JSON line {"auc_attention", "auc_ablation", "delta", ...} and
+appends a row to BASELINE.md by hand (see that file's round-2 table).
+"""
+
+import argparse
+import json
+import subprocess
+import sys
+from pathlib import Path
+
+REPO = Path(__file__).resolve().parents[1]
+sys.path.insert(0, str(REPO))
+
+
+def run(cmd, env_extra=None):
+    import os
+
+    env = dict(os.environ)
+    if env_extra:
+        env.update(env_extra)
+    print(f"+ {' '.join(str(c) for c in cmd)}", file=sys.stderr, flush=True)
+    subprocess.run([str(c) for c in cmd], check=True, env=env)
+
+
+def main():
+    parser = argparse.ArgumentParser(description="AUC + attention ablation experiment")
+    parser.add_argument("--workdir", type=str, default="outputs/ablation_experiment")
+    parser.add_argument("--n-per-class", type=int, default=600)
+    parser.add_argument("--size", type=int, default=320)
+    parser.add_argument("--epochs", type=int, default=25)
+    parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--variant", type=str, default="b0")
+    parser.add_argument("--skip-render", action="store_true")
+    parser.add_argument("--skip-preprocess", action="store_true")
+    args = parser.parse_args()
+
+    import yaml
+
+    ws = Path(args.workdir)
+    ws.mkdir(parents=True, exist_ok=True)
+    raw = ws / "raw"
+    processed = ws / "processed"
+
+    # 1. Corpus --------------------------------------------------------------
+    if not args.skip_render:
+        from deepfake_vit_tpu.data.synth_faces import write_classification_corpus
+
+        print(f"rendering {2 * args.n_per_class} labeled faces → {raw}", file=sys.stderr)
+        write_classification_corpus(raw, args.n_per_class, size=args.size, seed=args.seed)
+
+    # 2. Preprocess through the production pipeline --------------------------
+    pre = yaml.safe_load(open(REPO / "deepfake_vit_tpu/configs/preprocessing_config.yaml"))
+    pre["detection"]["scrfd"]["input_size"] = [args.size, args.size]
+    pre["detection"]["confidence_threshold"] = 0.3
+    pre["datasets"]["gen_ai"]["path"] = str(raw)
+    pre["output"]["base_dir"] = str(processed)
+    pre["logging"]["log_dir"] = str(ws / "logs")
+    pre_cfg = ws / "pre.yaml"
+    yaml.safe_dump(pre, open(pre_cfg, "w"))
+    if not args.skip_preprocess:
+        run([sys.executable, REPO / "scripts/preprocess_dataset.py",
+             "--config", pre_cfg, "--datasets", "gen_ai"])
+
+    # 3+4. Train + evaluate both arms ----------------------------------------
+    results = {}
+    for arm, use_landmark in (("attention", True), ("ablation", False)):
+        cfg = yaml.safe_load(open(REPO / "deepfake_vit_tpu/configs/model_config.yaml"))
+        cfg["model"]["feature_extractor"]["variant"] = args.variant
+        cfg["model"]["feature_extractor"]["attention_config"]["use_landmark"] = use_landmark
+        if not use_landmark:
+            # Full ablation arm: no landmark-derived signal anywhere.
+            cfg["model"]["feature_extractor"]["attention_config"]["use_spatial"] = False
+            cfg["model"]["feature_extractor"]["attention_config"]["use_channel"] = False
+            cfg["model"]["feature_extractor"]["use_attention"] = False
+        cfg["data"]["processed_dir"] = str(processed)
+        cfg["data"]["batch_size"] = args.batch_size
+        cfg["training"]["num_epochs"] = args.epochs
+        cfg["seed"] = args.seed
+        cfg.setdefault("checkpoint", {})["save_dir"] = str(ws / f"ckpt_{arm}")
+        cfg.setdefault("validation", {})["save_freq"] = max(args.epochs // 2, 1)
+        cfg.setdefault("logging", {})["log_dir"] = str(ws / f"runs_{arm}")
+        cfg["early_stopping"] = {"patience": args.epochs}  # run all epochs
+        cfg_path = ws / f"model_{arm}.yaml"
+        yaml.safe_dump(cfg, open(cfg_path, "w"))
+
+        run([sys.executable, REPO / "scripts/train.py", "--config", cfg_path])
+        out_dir = ws / f"eval_{arm}"
+        run([sys.executable, REPO / "scripts/evaluate.py",
+             "--checkpoint", ws / f"ckpt_{arm}" / "best_model.ckpt",
+             "--config", cfg_path, "--output-dir", out_dir])
+        metrics = json.load(open(out_dir / "eval_test.json"))
+        results[arm] = metrics
+
+    summary = {
+        "auc_attention": results["attention"].get("roc_auc"),
+        "auc_ablation": results["ablation"].get("roc_auc"),
+        "acc_attention": results["attention"].get("accuracy"),
+        "acc_ablation": results["ablation"].get("accuracy"),
+        "delta_auc": results["attention"].get("roc_auc", 0) - results["ablation"].get("roc_auc", 0),
+        "n_per_class": args.n_per_class,
+        "epochs": args.epochs,
+        "variant": args.variant,
+    }
+    print(json.dumps(summary))
+    with open(ws / "summary.json", "w") as f:
+        json.dump(summary, f, indent=2)
+
+
+if __name__ == "__main__":
+    main()

@@ -74,7 +74,10 @@ def main():
     parser = argparse.ArgumentParser(description="Batch serving over the fused pipeline")
     parser.add_argument("--data-dir", type=str, required=True)
     parser.add_argument("--checkpoint", type=str, default=None, help="classifier .ckpt")
-    parser.add_argument("--detector-weights", type=str, default=None)
+    parser.add_argument(
+        "--detector-weights", type=str, default="default",
+        help="'default' = committed trained weights; 'none' = random init; or a path",
+    )
     parser.add_argument("--config", type=str, default=None)
     parser.add_argument("--output", type=str, default="predictions.csv")
     parser.add_argument("--batch-size", type=int, default=64)
@@ -108,7 +111,7 @@ def main():
         det_vars, model_vars = pipe.load_variables(
             jax.random.PRNGKey(0),
             classifier_checkpoint=args.checkpoint,
-            detector_weights=args.detector_weights,
+            detector_weights=None if args.detector_weights == "none" else args.detector_weights,
         )
     det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
 

@@ -61,22 +61,34 @@ def make_batch(records, indices, input_size: int, max_faces: int):
 
 def main():
     parser = argparse.ArgumentParser(description="Train the SCRFD face detector (TPU)")
-    parser.add_argument("--annotations", type=str, required=True, help="JSON annotation file")
+    parser.add_argument("--annotations", type=str, default=None, help="JSON annotation file")
+    parser.add_argument(
+        "--synthetic", type=int, default=0,
+        help="render N procedural face scenes (data/synth_faces.py) and train on them "
+        "instead of --annotations",
+    )
+    parser.add_argument("--synthetic-dir", type=str, default="data/synth_faces")
     parser.add_argument("--save", type=str, default="checkpoints/detector.msgpack")
     parser.add_argument("--input-size", type=int, default=320)
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--epochs", type=int, default=50)
     parser.add_argument("--lr", type=float, default=1e-3)
+    parser.add_argument("--model", type=str, default="scrfd", choices=("scrfd", "mtcnn"),
+                        help="detector family: scrfd (production) or mtcnn (lite)")
     parser.add_argument("--max-faces", type=int, default=8)
+    parser.add_argument("--save-every", type=int, default=10,
+                        help="also write --save every N epochs (crash safety)")
     parser.add_argument("--seed", type=int, default=42)
     args = parser.parse_args()
+    if not args.annotations and not args.synthetic:
+        parser.error("one of --annotations or --synthetic is required")
 
     import jax
     import jax.numpy as jnp
     from flax import serialization
 
-    from deepfake_vit_tpu.models.scrfd import ScrfdDetector
     from deepfake_vit_tpu.parallel import data_parallel_mesh, shard_batch
+    from deepfake_vit_tpu.preprocessing.detector import build_detection_net
     from deepfake_vit_tpu.training import create_optimizer
     from deepfake_vit_tpu.training.detection import make_detector_train_step
     from deepfake_vit_tpu.utils import enable_compilation_cache, setup_logger
@@ -84,11 +96,26 @@ def main():
     enable_compilation_cache()
     logger = setup_logger("train_detector")
 
+    if args.synthetic:
+        from deepfake_vit_tpu.data.synth_faces import write_corpus
+
+        ann_path = Path(args.synthetic_dir) / "annotations.json"
+        existing = []
+        if ann_path.exists():
+            existing = load_annotations(ann_path)
+        if len(existing) >= args.synthetic:
+            logger.info(f"reusing {len(existing)} rendered scenes in {args.synthetic_dir}")
+        else:
+            logger.info(f"rendering {args.synthetic} scenes → {args.synthetic_dir}")
+            write_corpus(args.synthetic_dir, args.synthetic, size=args.input_size,
+                         seed=args.seed, max_faces=args.max_faces)
+        args.annotations = str(ann_path)
+
     records = load_annotations(args.annotations)
     logger.info(f"{len(records)} annotated images")
     size = (args.input_size, args.input_size)
 
-    model = ScrfdDetector()
+    model = build_detection_net(args.model)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(
@@ -105,6 +132,16 @@ def main():
 
     mesh = data_parallel_mesh()
     step = make_detector_train_step(model, optimizer, size, mesh)
+
+    out = Path(args.save)
+    out.parent.mkdir(parents=True, exist_ok=True)
+
+    def save():
+        state_dict = serialization.to_state_dict(
+            {"params": jax.device_get(params), "batch_stats": jax.device_get(stats)}
+        )
+        with open(out, "wb") as f:
+            f.write(serialization.msgpack_serialize(state_dict))
 
     rng = np.random.default_rng(args.seed)
     n = len(records)
@@ -129,14 +166,11 @@ def main():
             + " ".join(f"{k}={v:.4f}" for k, v in m.items())
             + f" ({time.perf_counter() - t0:.1f}s)"
         )
+        if args.save_every and (epoch + 1) % args.save_every == 0:
+            save()
+            logger.info(f"checkpointed detector weights → {out}")
 
-    out = Path(args.save)
-    out.parent.mkdir(parents=True, exist_ok=True)
-    state_dict = serialization.to_state_dict(
-        {"params": jax.device_get(params), "batch_stats": jax.device_get(stats)}
-    )
-    with open(out, "wb") as f:
-        f.write(serialization.msgpack_serialize(state_dict))
+    save()
     logger.info(f"saved detector weights → {out}")
 
 

@@ -164,3 +164,27 @@ def test_detector_end_to_end_shapes(rng):
     assert raw["scores"].shape == (2, 8)
     result = det.detect(img)
     assert result is None or set(result.keys()) == {"bbox", "landmarks", "confidence", "num_faces"}
+
+
+def test_mtcnn_lite_family(rng):
+    """The second detector family (models/mtcnn_lite.py): config key
+    'mtcnn' builds a real lightweight net sharing the FaceDetector host
+    API and decode machinery (reference face_detector.py:12-192)."""
+    from deepfake_vit_tpu.preprocessing.detector import create_face_detector
+
+    det = create_face_detector(
+        {"model": "mtcnn", "confidence_threshold": 0.99,
+         "scrfd": {"input_size": [128, 128], "max_detections": 4}}
+    )
+    assert det.model_name == "mtcnn"
+    import jax
+
+    n_params = sum(
+        x.size for x in jax.tree_util.tree_leaves(det.variables["params"])
+    )
+    assert n_params < 100_000  # genuinely lightweight (SCRFD is ~3M)
+    raw = det.detect_batch_raw(np.zeros((2, 128, 128, 3), np.float32))
+    assert raw["boxes"].shape == (2, 4, 4)
+    assert raw["landmarks"].shape == (2, 4, 5, 2)
+    result = det.detect(synthetic_face_image(rng, 200, 200))
+    assert result is None or set(result.keys()) == {"bbox", "landmarks", "confidence", "num_faces"}
