@@ -188,8 +188,16 @@ class EfficientNetBackbone(nn.Module):
         train: bool = False,
         return_maps: bool = False,
         return_intermediate: bool = False,
+        start_block: int = 0,
     ):
-        """x: (B, H, W, 3) normalized images, NHWC."""
+        """x: (B, H, W, 3) normalized images, NHWC.
+
+        ``start_block > 0`` resumes mid-network: ``x`` is then the input
+        activation of flat block ``start_block`` (the stem and earlier
+        blocks are skipped — serving runs them in the fused Pallas kernels,
+        ``models/fused_backbone.py``). Only valid under ``apply`` with a
+        full parameter tree; the skipped modules' params are simply unread.
+        """
         conv_kw = dict(use_bias=False, dtype=self.dtype, param_dtype=jnp.float32)
         use_ra = (not train) or self.freeze_bn
         bn_kw = dict(
@@ -201,17 +209,20 @@ class EfficientNetBackbone(nn.Module):
         )
         x = x.astype(self.dtype)
 
-        width, _, _, _ = VARIANT_PARAMS[self.variant]
-        stem_filters = round_filters(32, width)
-        x = nn.Conv(stem_filters, (3, 3), strides=(2, 2), padding="SAME",
-                    name="stem_conv", **conv_kw)(x)
-        x = nn.BatchNorm(name="stem_bn", **bn_kw)(x)
-        x = nn.silu(x)
+        if start_block == 0:
+            width, _, _, _ = VARIANT_PARAMS[self.variant]
+            stem_filters = round_filters(32, width)
+            x = nn.Conv(stem_filters, (3, 3), strides=(2, 2), padding="SAME",
+                        name="stem_conv", **conv_kw)(x)
+            x = nn.BatchNorm(name="stem_bn", **bn_kw)(x)
+            x = nn.silu(x)
 
         blocks = block_args(self.variant)
         n_blocks = len(blocks)
         intermediates: Dict[int, jnp.ndarray] = {}
         for idx, args in enumerate(blocks):
+            if idx < start_block:
+                continue
             drop = self.drop_connect_rate * idx / n_blocks
             x = MBConvBlock(
                 **args,

@@ -51,8 +51,14 @@ class DeepfakeFeatureExtractor(nn.Module):
         train: bool = False,
         return_attention: bool = False,
         return_intermediate: bool = False,
+        backbone_start_block: int = 0,
     ):
-        """images: (B, H, W, 3) normalized NHWC; landmarks: (B, 5, 2)."""
+        """images: (B, H, W, 3) normalized NHWC; landmarks: (B, 5, 2).
+
+        ``backbone_start_block > 0``: ``images`` is instead the input
+        activation of that flat backbone block — the fused Pallas kernels
+        (``models/fused_backbone.py``) ran the earlier stages.
+        """
         backbone = EfficientNetBackbone(
             variant=self.variant,
             dropout_rate=self.dropout_rate,
@@ -61,7 +67,9 @@ class DeepfakeFeatureExtractor(nn.Module):
             name="backbone",
         )
         out = backbone(
-            images, train=train, return_maps=True, return_intermediate=return_intermediate
+            images, train=train, return_maps=True,
+            return_intermediate=return_intermediate,
+            start_block=backbone_start_block,
         )
         if return_intermediate:
             feature_maps, intermediates = out
@@ -150,8 +158,12 @@ class DeepfakeDetectionModel(nn.Module):
         landmarks: Optional[jnp.ndarray] = None,
         train: bool = False,
         return_features: bool = False,
+        backbone_start_block: int = 0,
     ) -> Tuple[jnp.ndarray, Optional[jnp.ndarray]]:
-        features = self.feature_extractor(images, landmarks, train=train)
+        features = self.feature_extractor(
+            images, landmarks, train=train,
+            backbone_start_block=backbone_start_block,
+        )
         x = features
         for block in self.head_blocks:
             x = block(x, train=train)
