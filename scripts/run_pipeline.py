@@ -135,10 +135,28 @@ def main():
     counts = np.zeros(len(files))
     buf_frames, buf_idx = [], []
     n_frames = 0
+    pending = None  # (device outputs, frame→file indices, n_valid)
     t0 = time.perf_counter()
 
+    def drain(p):
+        """Pull a completed batch's results to the host and accumulate."""
+        nonlocal n_frames
+        out_dev, idxs, n = p
+        out = jax.device_get(out_dev)
+        has = out["has_face"][:n]
+        fake = out["fake_prob"][:n]
+        for k in range(n):
+            if has[k]:
+                sums[idxs[k]] += float(fake[k])
+                counts[idxs[k]] += 1
+        n_frames += n
+
     def flush():
-        nonlocal buf_frames, buf_idx, n_frames
+        """Submit the buffered batch (async dispatch) and drain the PREVIOUS
+        one — one batch is always in flight, so host decode + accumulation
+        overlap device compute (ROADMAP serving-overlap item; on the axon
+        runtime only device_get synchronizes, dispatch returns immediately)."""
+        nonlocal buf_frames, buf_idx, pending
         if not buf_frames:
             return
         n = len(buf_frames)
@@ -146,17 +164,11 @@ def main():
         frames = np.stack(buf_frames)
         if pad:
             frames = np.concatenate([frames, np.zeros((pad, *det_size, 3), np.float32)])
-        out = jax.device_get(
-            forward(det_vars, model_vars, jnp.asarray(frames))
-        )
-        has = out["has_face"][:n]
-        fake = out["fake_prob"][:n]
-        for k in range(n):
-            if has[k]:
-                sums[buf_idx[k]] += float(fake[k])
-                counts[buf_idx[k]] += 1
-        n_frames += n
+        out_dev = forward(det_vars, model_vars, jnp.asarray(frames))
+        prev, pending = pending, (out_dev, buf_idx, n)
         buf_frames, buf_idx = [], []
+        if prev is not None:
+            drain(prev)
 
     while True:
         item = q.get()
@@ -168,6 +180,8 @@ def main():
         if len(buf_frames) == args.batch_size:
             flush()
     flush()
+    if pending is not None:
+        drain(pending)
     elapsed = time.perf_counter() - t0
 
     with open(args.output, "w", newline="") as f:
