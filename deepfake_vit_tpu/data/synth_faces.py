@@ -285,9 +285,9 @@ def _apply_manipulation(img: np.ndarray, lms: np.ndarray, bbox: np.ndarray, rng)
     patch = out[y1:y2, x1:x2].copy()
 
     if kind == 0:
-        # Rescale-and-reblend: the patch is zoomed slightly and alpha-blended
-        # back with a soft-edged mask → geometry mismatch + faint seam.
-        zoom = rng.uniform(1.08, 1.22)
+        # Rescale-and-reblend: the patch is zoomed and alpha-blended back
+        # with a soft-edged mask → geometry mismatch + seam.
+        zoom = rng.uniform(1.18, 1.45)
         zh, zw = int(patch.shape[0] * zoom), int(patch.shape[1] * zoom)
         big = cv2.resize(patch, (zw, zh), interpolation=cv2.INTER_LINEAR)
         oy, ox = (zh - patch.shape[0]) // 2, (zw - patch.shape[1]) // 2
@@ -299,7 +299,7 @@ def _apply_manipulation(img: np.ndarray, lms: np.ndarray, bbox: np.ndarray, rng)
         out[y1:y2, x1:x2] = patch * (1 - mask) + rep * mask
     elif kind == 1:
         # Over-smoothed region (GAN-style loss of high frequency).
-        k = int(rng.integers(2, 4)) * 2 + 1
+        k = int(rng.integers(3, 6)) * 2 + 1
         sm = cv2.GaussianBlur(patch, (k, k), 0)
         mask = np.zeros(patch.shape[:2], np.float32)
         cv2.circle(mask, (patch.shape[1] // 2, patch.shape[0] // 2),
@@ -308,8 +308,8 @@ def _apply_manipulation(img: np.ndarray, lms: np.ndarray, bbox: np.ndarray, rng)
         out[y1:y2, x1:x2] = patch * (1 - mask) + sm * mask
     else:
         # Color-transfer mismatch with a blend boundary.
-        shift = rng.normal(0, 14, 3).astype(np.float32)
-        gain = rng.uniform(0.88, 1.12)
+        shift = rng.normal(0, 26, 3).astype(np.float32)
+        gain = rng.uniform(0.75, 1.28)
         rep = np.clip(patch * gain + shift, 0, 255)
         mask = np.zeros(patch.shape[:2], np.float32)
         cv2.ellipse(mask, (patch.shape[1] // 2, patch.shape[0] // 2),
@@ -337,7 +337,7 @@ def render_labeled_face(
             break
     bbox, lm = boxes[0], lms[0]
     if fake:
-        for _ in range(int(rng.integers(1, 3))):
+        for _ in range(int(rng.integers(2, 4))):
             img = _apply_manipulation(img, lm, bbox, rng)
     return img, bbox, lm
 

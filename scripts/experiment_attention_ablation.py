@@ -44,8 +44,11 @@ def main():
     parser.add_argument("--workdir", type=str, default="outputs/ablation_experiment")
     parser.add_argument("--n-per-class", type=int, default=600)
     parser.add_argument("--size", type=int, default=320)
-    parser.add_argument("--epochs", type=int, default=25)
+    parser.add_argument("--epochs", type=int, default=35)
     parser.add_argument("--batch-size", type=int, default=32)
+    parser.add_argument("--lr", type=float, default=3e-4,
+                        help="from-scratch training (no ImageNet weights in the "
+                        "image) wants a hotter LR than the fine-tune default")
     parser.add_argument("--seed", type=int, default=42)
     parser.add_argument("--variant", type=str, default="b0")
     parser.add_argument("--skip-render", action="store_true")
@@ -93,6 +96,7 @@ def main():
         cfg["data"]["processed_dir"] = str(processed)
         cfg["data"]["batch_size"] = args.batch_size
         cfg["training"]["num_epochs"] = args.epochs
+        cfg["training"]["optimizer"]["lr"] = args.lr
         cfg["seed"] = args.seed
         cfg.setdefault("checkpoint", {})["save_dir"] = str(ws / f"ckpt_{arm}")
         cfg.setdefault("validation", {})["save_freq"] = max(args.epochs // 2, 1)
