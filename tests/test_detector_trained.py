@@ -115,3 +115,46 @@ def test_single_image_contract(detector, heldout_scenes):
     assert r["bbox"].shape == (4,) and r["landmarks"].shape == (5, 2)
     assert 0.0 < r["confidence"] <= 1.0
     assert _iou(r["bbox"], boxes[0]) > 0.5
+
+
+# ---------------------------------------------------------------------------
+# Second family: MTCNN-Lite (~31K params). Looser bars than SCRFD — the
+# lightweight fallback trades landmark precision for 100× fewer params,
+# mirroring the reference's MTCNN-vs-buffalo_l relationship.
+# ---------------------------------------------------------------------------
+
+from deepfake_vit_tpu.preprocessing.detector import DEFAULT_WEIGHTS_BY_MODEL
+
+
+@pytest.mark.slow
+@pytest.mark.skipif(
+    not DEFAULT_WEIGHTS_BY_MODEL["mtcnn"].exists(),
+    reason="trained mtcnn-lite weights not present",
+)
+def test_mtcnn_lite_trained_quality():
+    from deepfake_vit_tpu.preprocessing.detector import create_face_detector
+
+    det = create_face_detector(
+        {"model": "mtcnn", "confidence_threshold": 0.3,
+         "scrfd": {"input_size": [160, 160]}}
+    )
+    rng = np.random.default_rng(HELDOUT_SEED + 7)
+    hits, lm_errs, n = 0, [], 0
+    while n < 24:
+        img, boxes, kps = render_scene(
+            rng, size=160, max_faces=1, min_face=36, max_face=110, p_empty=0.0
+        )
+        if not len(boxes):
+            continue
+        n += 1
+        r = det.detect(img)
+        if r is None:
+            continue
+        if _iou(r["bbox"], boxes[0]) > 0.5:
+            hits += 1
+            ied = float(np.linalg.norm(kps[0][0] - kps[0][1]))
+            lm_errs.append(
+                float(np.linalg.norm(r["landmarks"] - kps[0], axis=1).mean()) / ied
+            )
+    assert hits / n >= 0.85, f"lite recall {hits}/{n}"
+    assert np.mean(lm_errs) < 0.20, f"lite landmark err {np.mean(lm_errs):.3f} IED"
