@@ -125,30 +125,35 @@ class PreprocessingPipeline:
             outputs.append(out)
 
         if det_idx:
-            # Batched quality on the (variable-size) original images: per-image
-            # jit with shape bucketing would thrash; score on the face ROI is
-            # what the reference does implicitly via landmarks in the original
-            # frame — here we keep original-frame scoring, image by image
-            # grouped by shape.
-            for i in det_idx:
-                out = outputs[i]
-                q = self.quality_checker.check_quality(
-                    np.asarray(images[i], np.float32),
-                    out.original_landmarks,
-                    {"bbox": out.bbox, "confidence": out.confidence},
-                )
-                out.quality_score = q["overall_score"]
-                out.quality_details = q
-                # Invalid quality is flagged but still processed (reference
-                # pipeline.py:149-151).
-
-            # Batched alignment groups by source image shape (static shapes).
+            # Quality + alignment grouped by source image shape so every
+            # device call is BATCHED with static shapes (uniform-size corpora
+            # collapse to one call per stage per batch). Per-image quality
+            # calls each cost a tunnel dispatch + device_get sync — measured
+            # ~0.6 img/s end to end before batching. Invalid quality is
+            # flagged but still processed (reference pipeline.py:149-151).
             by_shape: Dict[tuple, List[int]] = {}
             for i in det_idx:
                 by_shape.setdefault(np.asarray(images[i]).shape, []).append(i)
             for shape, idxs in by_shape.items():
                 imgs = np.stack([np.asarray(images[i], np.float32) for i in idxs])
                 lms = np.stack([outputs[i].original_landmarks for i in idxs])
+                if self.quality_checker.enabled:
+                    qs = self.quality_checker.check_quality_batch(
+                        imgs,
+                        lms,
+                        np.stack([outputs[i].bbox for i in idxs]),
+                        np.asarray([outputs[i].confidence for i in idxs], np.float32),
+                    )
+                    for k, i in enumerate(idxs):
+                        outputs[i].quality_score = qs[k]["overall_score"]
+                        outputs[i].quality_details = qs[k]
+                else:
+                    for i in idxs:
+                        outputs[i].quality_score = 1.0
+                        outputs[i].quality_details = {
+                            "is_valid": True, "overall_score": 1.0,
+                            "scores": {}, "reasons": [],
+                        }
                 aligned, aligned_lms, tforms = self.aligner.align_batch(imgs, lms)
                 aligned = np.clip(aligned, 0, 255).astype(np.uint8)
                 for k, i in enumerate(idxs):
