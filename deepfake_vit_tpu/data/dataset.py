@@ -37,6 +37,15 @@ IMAGENET_STD = np.array([0.229, 0.224, 0.225], dtype=np.float32)
 LABEL_MAP = {"real": 0, "fake": 1}
 
 
+def _path_field(row, key) -> Optional[str]:
+    """CSV path cell → str or None. Empty cells read back as NaN (a float,
+    and truthy!) — guard both missing columns and NaN/empty values."""
+    v = row.get(key)
+    if v is None or (isinstance(v, float) and v != v) or v == "":
+        return None
+    return str(v)
+
+
 def _load_image(path: str, image_size: int, normalize: bool = True) -> np.ndarray:
     """cv2 decode → RGB float32 NHWC, resized + ImageNet-normalized.
 
@@ -111,14 +120,16 @@ class PreprocessedFaceDataset:
             "dataset": str(row.get("dataset", "")),
             "quality_score": np.float32(row.get("quality_score", 0.0)),
         }
-        if self.use_landmarks and row.get("landmark_path"):
-            lm_path = self.root / row["landmark_path"]
+        lm_rel = _path_field(row, "landmark_path")
+        if self.use_landmarks and lm_rel:
+            lm_path = self.root / lm_rel
             if lm_path.exists():
                 item["landmarks"] = np.load(lm_path).astype(np.float32)
             else:
                 item["landmarks"] = np.zeros((5, 2), dtype=np.float32)
-        if self.load_metadata and row.get("metadata_path"):
-            md_path = self.root / row["metadata_path"]
+        md_rel = _path_field(row, "metadata_path")
+        if self.load_metadata and md_rel:
+            md_path = self.root / md_rel
             if md_path.exists():
                 with open(md_path) as f:
                     item["metadata"] = json.load(f)
@@ -153,7 +164,8 @@ class PreprocessedFaceDataset:
         if self.use_landmarks and "landmark_path" in self.df.columns:
             lms = []
             for r in rows:
-                p = self.root / r["landmark_path"] if r.get("landmark_path") else None
+                rel = _path_field(r, "landmark_path")
+                p = self.root / rel if rel else None
                 if p is not None and p.exists():
                     lms.append(np.load(p).astype(np.float32))
                 else:
