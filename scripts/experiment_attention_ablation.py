@@ -111,6 +111,8 @@ def main():
              "--checkpoint", ws / f"ckpt_{arm}" / "best_model.ckpt",
              "--config", cfg_path, "--output-dir", out_dir])
         metrics = json.load(open(out_dir / "eval_test.json"))
+        if isinstance(metrics, list):  # save_metrics appends: take latest
+            metrics = metrics[-1]
         results[arm] = metrics
 
     summary = {
