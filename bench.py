@@ -99,6 +99,7 @@ def main():
         #     resolution end to end; (b) round-1's 320² serving canvas.
         for name, srv, det in (
             ("e2e 640² detect", (640, 640), (640, 640)),
+            ("e2e 640² serving / 160² detect (fast knob)", (640, 640), (160, 160)),
             ("e2e 320² canvas (round-1 cfg)", (320, 320), (320, 320)),
         ):
             p2 = FusedPipeline(model_config, detection_input_size=det,
