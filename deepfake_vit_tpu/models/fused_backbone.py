@@ -63,7 +63,11 @@ def plan_fused_stages(
         if cur or cur_stem:
             h_out = cur_h_in // 2 if (cur_stem or (cur and blocks[cur[0]]["stride"] == 2)) else cur_h_in
             bps = tuple(
-                block_plan_from_args(blocks[i], group=group_for(h_out)) for i in cur
+                block_plan_from_args(
+                    blocks[i],
+                    group=group_for(h_out, blocks[i]["kernel"], blocks[i]["stride"]),
+                )
+                for i in cur
             )
             plans.append(
                 (
@@ -121,7 +125,9 @@ class FusedBackboneRunner:
                 ws += fold_block_weights(
                     params[f"block_{i}"], batch_stats[f"block_{i}"],
                     block_plan_from_args(
-                        block_args(variant)[i], group=group_for(plan.h_out)
+                        block_args(variant)[i],
+                        group=group_for(plan.h_out, block_args(variant)[i]["kernel"],
+                                        block_args(variant)[i]["stride"]),
                     ),
                 )
             self.weights.append(ws)

@@ -75,11 +75,14 @@ LANES = 128
 DEFAULT_GROUP = 32  # expanded channels per grid cell (cexp padded to a multiple)
 
 
-def group_for(h: int) -> int:
-    """Per-cell channel-group size: 16 at large spatial extents — the
-    scoped-VMEM stack scales as group × h·128 and h ≥ 100 measured 656 KB
-    over the 16 MB limit at group 32."""
-    return 16 if h >= 100 else DEFAULT_GROUP
+def group_for(h: int, kernel: int = 3, stride: int = 1) -> int:
+    """Per-cell channel-group size: 16 at large spatial extents and for
+    5×5 stride-2 blocks (4 phase slabs × 25 taps) — the scoped-VMEM stack
+    scales as group × h·128 and both cases measured just past the 16 MB
+    limit at group 32 (656 KB / 470 KB over)."""
+    if h >= 100 or (kernel == 5 and stride == 2):
+        return 16
+    return DEFAULT_GROUP
 
 
 @dataclasses.dataclass(frozen=True)
