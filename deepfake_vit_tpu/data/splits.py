@@ -16,7 +16,7 @@ category (b) in round 1.
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Dict, Optional
+from typing import Dict
 
 
 def create_data_splits(

@@ -15,14 +15,12 @@ space-to-depth reshapes between them.
 
 from __future__ import annotations
 
-from typing import Any, Dict, List, Optional, Sequence, Tuple
+from typing import Any, Dict, List, Tuple
 
 import jax
 import jax.numpy as jnp
 
 from ..ops.pallas.fused_stages import (
-    LANES,
-    BlockPlan,
     StagePlan,
     block_plan_from_args,
     group_for,
