@@ -75,6 +75,9 @@ def main():
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--model", type=str, default="scrfd", choices=("scrfd", "mtcnn"),
                         help="detector family: scrfd (production) or mtcnn (lite)")
+    parser.add_argument("--resume", type=str, default=None,
+                        help="msgpack weights to continue from (crash recovery / "
+                        "fine-tuning; parallels train.py --resume)")
     parser.add_argument("--max-faces", type=int, default=8)
     parser.add_argument("--save-every", type=int, default=10,
                         help="also write --save every N epochs (crash safety)")
@@ -121,6 +124,11 @@ def main():
         variables = model.init(
             jax.random.PRNGKey(args.seed), jnp.zeros((1, *size, 3), jnp.float32)
         )
+    if args.resume:
+        with open(args.resume, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+        variables = serialization.from_state_dict(variables, state)
+        logger.info(f"resumed detector weights from {args.resume}")
     optimizer = create_optimizer({"type": "AdamW", "lr": args.lr}, gradient_clip=5.0)
     with jax.default_device(cpu):
         opt_state = optimizer.init(variables["params"])
