@@ -148,7 +148,7 @@ def main():
 
         def fused_fwd(v, i, l):
             runner = FusedBackboneRunner(
-                "b4",
+                model.variant,
                 v["params"]["feature_extractor"]["backbone"],
                 v["batch_stats"]["feature_extractor"]["backbone"],
                 image_size=224,

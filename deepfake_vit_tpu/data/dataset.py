@@ -24,7 +24,7 @@ import json
 import threading
 from concurrent.futures import ThreadPoolExecutor
 from pathlib import Path
-from queue import Queue
+from queue import Full, Queue
 from typing import Any, Dict, Iterable, Optional, Sequence
 
 import numpy as np
@@ -264,7 +264,17 @@ class HostLoader:
             order = rng.permutation(n)
         else:
             order = np.arange(n)
-        # Stripe the shared order across processes (disjoint, covering).
+        if self.process_count == 1:
+            return order
+        # Stripe the shared order across processes. Wrap-pad the permutation
+        # to a multiple of process_count first (torch DistributedSampler
+        # semantics) so every process sees the SAME stripe length — unequal
+        # stripes make processes disagree on batches-per-epoch and deadlock
+        # the first collective of the extra step.
+        per_proc = -(-n // self.process_count)
+        total = per_proc * self.process_count
+        if total > n:
+            order = np.concatenate([order, order[: total - n]])
         return order[self.process_index :: self.process_count]
 
     def __len__(self) -> int:
@@ -287,15 +297,17 @@ class HostLoader:
 
     def __iter__(self):
         order = self._order()
+        # Epoch auto-advances AT ITERATOR CREATION so plain re-iteration
+        # reshuffles like a torch DataLoader across epochs, and an abandoned
+        # iterator (e.g. next(iter(loader)) for model init) leaves the same
+        # epoch state as a drained one; set_epoch() overrides for resume.
+        self._epoch += 1
         bs = self.batch_size
         n_full = len(order) // bs
         for b in range(n_full):
             yield self._fetch(order[b * bs : (b + 1) * bs])
         if not self.drop_last and n_full * bs < len(order):
             yield self._fetch(order[n_full * bs :])
-        # Epoch auto-advances so plain re-iteration reshuffles, exactly like
-        # a torch DataLoader across epochs; set_epoch() overrides for resume.
-        self._epoch += 1
 
 
 _NUMERIC_KINDS = frozenset("fiub")
@@ -335,6 +347,7 @@ class DeviceLoader:
         from jax.sharding import NamedSharding, PartitionSpec as P
 
         n_dev = self.mesh.devices.size
+        multi_process = jax.process_count() > 1
         out: Dict[str, Any] = {}
         for k, v in batch.items():
             arr = np.asarray(v) if not isinstance(v, (list, dict)) else None
@@ -344,7 +357,17 @@ class DeviceLoader:
                 spec = P(self.axis, *([None] * (arr.ndim - 1)))
             else:
                 spec = P()
-            out[k] = jax.device_put(arr, NamedSharding(self.mesh, spec))
+            sharding = NamedSharding(self.mesh, spec)
+            if multi_process and spec != P():
+                # Each process holds a DISTINCT striped batch (HostLoader
+                # striping) — it is the process-local shard of the global
+                # batch, NOT a replica. device_put with a global-mesh
+                # sharding assumes identical host values on every process
+                # and would silently drop all but 1/P of the data; assemble
+                # the global array from the local shards instead.
+                out[k] = jax.make_array_from_process_local_data(sharding, arr)
+            else:
+                out[k] = jax.device_put(arr, sharding)
         return out
 
     def __iter__(self):
@@ -355,22 +378,43 @@ class DeviceLoader:
 
         q: Queue = Queue(maxsize=self.prefetch)
         _END = object()
+        stop = threading.Event()
 
         def producer():
             try:
                 for batch in self.loader:
-                    q.put(batch)
+                    # Bounded put so an abandoned iterator (consumer stopped
+                    # pulling) unblocks once `stop` is set instead of leaking
+                    # a thread parked on q.put forever.
+                    while not stop.is_set():
+                        try:
+                            q.put(batch, timeout=0.1)
+                            break
+                        except Full:
+                            continue
+                    if stop.is_set():
+                        return
             finally:
-                q.put(_END)
+                while not stop.is_set():
+                    try:
+                        q.put(_END, timeout=0.1)
+                        break
+                    except Full:
+                        continue
 
         t = threading.Thread(target=producer, daemon=True)
         t.start()
-        while True:
-            batch = q.get()
-            if batch is _END:
-                break
-            yield self._place(batch)
-        t.join()
+        try:
+            while True:
+                batch = q.get()
+                if batch is _END:
+                    break
+                yield self._place(batch)
+        finally:
+            # Normal drain or abandonment (GeneratorExit / break): release
+            # the producer and reap the thread either way.
+            stop.set()
+            t.join(timeout=5.0)
 
 
 def create_dataloaders(

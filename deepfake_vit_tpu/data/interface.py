@@ -72,8 +72,11 @@ class PreprocessingToFeatureInterface:
         labels = []
         ids = []
         for out in outputs:
-            img = np.asarray(out.aligned_face, dtype=np.float32)
-            if img.max() > 1.5:
+            raw = np.asarray(out.aligned_face)
+            img = raw.astype(np.float32)
+            # Branch on dtype, not per-image max: a uniformly dark uint8
+            # face (all pixels <= 1) must still be /255-rescaled.
+            if np.issubdtype(raw.dtype, np.integer) or img.max() > 1.5:
                 img = img / 255.0
             if self.normalize:
                 img = (img - IMAGENET_MEAN) / IMAGENET_STD

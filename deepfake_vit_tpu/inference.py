@@ -95,30 +95,42 @@ class DeepfakePredictor:
 
     def predict_frames(self, frames: Sequence[np.ndarray]) -> Dict[str, Any]:
         """Frames of one file → clip-level {label, fake_prob, per-frame probs}."""
-        inputs: List[Dict[str, np.ndarray]] = []
         # Batched detection over all frames at once.
         detections = self.detector.batch_detect(list(frames))
-        for rgb, det in zip(frames, detections):
-            if det is None:
-                continue
-            aligned, tform = self.aligner.align(
-                np.asarray(rgb, np.float32), det["landmarks"]
-            )
-            aligned_lms = self.aligner.get_aligned_landmarks(det["landmarks"], tform)
-            img = np.clip(aligned, 0, 255) / 255.0
-            img = (img - IMAGENET_MEAN) / IMAGENET_STD
-            inputs.append(
-                {"image": img.astype(np.float32), "landmarks": aligned_lms.astype(np.float32)}
-            )
-
-        if not inputs:
+        hits = [
+            (np.asarray(rgb, np.float32), det)
+            for rgb, det in zip(frames, detections)
+            if det is not None
+        ]
+        if not hits:
             return {"label": 0, "fake_prob": 0.0, "frame_probs": [], "num_faces": 0}
 
+        # Batched alignment: one align_batch call when the detected frames
+        # share a shape (the video case — all clip frames are equal-sized);
+        # mixed-shape inputs fall back to per-shape groups.
+        aligned_parts: List[np.ndarray] = []
+        lms_parts: List[np.ndarray] = []
+        i = 0
+        while i < len(hits):
+            j = i + 1
+            while j < len(hits) and hits[j][0].shape == hits[i][0].shape:
+                j += 1
+            imgs = np.stack([h[0] for h in hits[i:j]])
+            src_lms = np.stack(
+                [np.asarray(h[1]["landmarks"], np.float32) for h in hits[i:j]]
+            )
+            aligned, aligned_lms, _ = self.aligner.align_batch(imgs, src_lms)
+            aligned_parts.append(aligned)
+            lms_parts.append(aligned_lms)
+            i = j
+        aligned_all = np.concatenate(aligned_parts)
+        images = (np.clip(aligned_all, 0, 255) / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        images = images.astype(np.float32)
+        lms = np.concatenate(lms_parts).astype(np.float32)
+
         # Pad to the static batch size so every clip reuses one executable.
-        n = len(inputs)
+        n = len(hits)
         pad = self.max_batch - (n % self.max_batch or self.max_batch)
-        images = np.stack([x["image"] for x in inputs])
-        lms = np.stack([x["landmarks"] for x in inputs])
         mask = np.ones(n, np.float32)
         if pad:
             images = np.concatenate([images, np.zeros((pad, *images.shape[1:]), np.float32)])

@@ -95,6 +95,12 @@ class Trainer:
         (self.logger.info if self.logger else print)(msg)
 
     def train_epoch(self, epoch: int) -> Dict[str, float]:
+        # Pin the loader's shuffle order to the epoch index so data order is
+        # a pure function of (seed, epoch) — exact-order resume regardless of
+        # how many iterators were created or abandoned before this epoch.
+        set_epoch = getattr(self.train_loader, "set_epoch", None)
+        if callable(set_epoch):
+            set_epoch(epoch)
         sums: Dict[str, float] = {}
         n = 0
         t0 = time.perf_counter()
