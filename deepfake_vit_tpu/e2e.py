@@ -51,6 +51,9 @@ class FusedPipeline:
         warp_window: int = 160,
         dtype=jnp.bfloat16,
         use_fused_backbone: bool = False,
+        use_int8_tail: bool = False,
+        keep_top_k: int = 1,
+        nms_threshold: float = 0.4,
     ):
         """serving_size decouples the FRAME resolution from the detection
         canvas: frames enter at serving_size, are average-pooled by the
@@ -59,15 +62,28 @@ class FusedPipeline:
         reference aligns from the original image too
         (``face_aligner.py:102-128``); round 1 warped from the downscaled
         canvas, losing detail for small faces. Default: serving == detection
-        canvas (still windowed-warped when the frame exceeds warp_window)."""
+        canvas (still windowed-warped when the frame exceeds warp_window).
+
+        keep_top_k > 1 enables MULTI-FACE serving (the reference's
+        ``keep_top_k`` config key, preprocessing_config.yaml:9): per frame,
+        the top-K NMS survivors are each aligned/scored/classified; outputs
+        gain a faces axis (B, K, ...) with a ``face_valid`` mask. K == 1
+        keeps the reference's best-face semantics and the flat (B, ...)
+        output contract."""
         self.detector = ScrfdDetector(dtype=dtype)
         self.model = create_model_from_config(model_config.get("model", {}), dtype=dtype)
+        self.dtype = dtype
         self.input_size = tuple(detection_input_size)
         self.serving_size = tuple(serving_size or detection_input_size)
         self.warp_window = warp_window
         # Mosaic kernels only lower on TPU; CPU (tests, virtual meshes)
         # falls back to the XLA backbone automatically.
         self.use_fused_backbone = use_fused_backbone and jax.default_backend() == "tpu"
+        # Int8 late-stage tail (models/int8_tail.py): s8×s8→s32 MXU matmuls
+        # for the late-block 1×1 convs, parity-gated in tests/test_int8_tail.
+        self.use_int8_tail = use_int8_tail
+        self.keep_top_k = int(keep_top_k)
+        self.nms_threshold = float(nms_threshold)
         ratio = self.serving_size[0] // self.input_size[0]
         if (
             self.serving_size[0] != self.input_size[0] * ratio
@@ -79,6 +95,13 @@ class FusedPipeline:
                 f"multiple of detection_input_size {self.input_size}"
             )
         self._pool_ratio = ratio
+        # One 2× pool level folds into the detector stem exactly
+        # (models/scrfd.py::fold_stem_pool_params): the stem's first conv
+        # becomes k6-s4 on 2×-resolution frames, eliminating one NHWC C=3
+        # pooling pass (~8 ms at B=128·640² — 3/128 lane utilization).
+        self._stem_fold = 2 if ratio >= 2 else 1
+        if self._stem_fold > 1:
+            self.detector_folded = ScrfdDetector(dtype=dtype, stem_pool=self._stem_fold)
         self.output_size = tuple(output_size)
         self.confidence_threshold = confidence_threshold
 
@@ -117,6 +140,8 @@ class FusedPipeline:
             "fake_prob": batch,
             "features": batch,
         }
+        if self.keep_top_k > 1:
+            out_sh["face_valid"] = batch
         return jax.jit(
             self._graph,
             in_shardings=(repl, repl, batch),
@@ -171,33 +196,80 @@ class FusedPipeline:
 
     # ------------------------------------------------------------------
     def _graph(self, det_vars, model_vars, frames: jnp.ndarray):
-        """frames: (B, H, W, 3) float32 RGB [0, 255] at SERVING size."""
+        """frames: (B, H, W, 3) RGB [0, 255] at SERVING size — uint8 or
+        float. uint8 is the preferred serving input: 4× less H2D traffic
+        and every frame-side HBM pass runs at the pipeline dtype."""
         B = frames.shape[0]
+        # Frame-side compute in the pipeline dtype (bf16 in serving): the
+        # warp kernel quantizes pixels to bf16 regardless, so this costs no
+        # extra precision — it halves the pool/crop bandwidth.
+        frames = frames.astype(self.dtype)
 
-        # 0. Detection canvas: average-pool the serving frames down by the
-        #    power-of-2 ratio (cheap, dense, MXU-free).
+        # 0. Detection canvas: average-pool the serving frames down to
+        #    stem_fold× the detection size; the final 2× rides the folded
+        #    detector stem (zero pooling pass).
         det_frames = frames
         r = self._pool_ratio
-        while det_frames.shape[1] > self.input_size[0]:
+        while det_frames.shape[1] > self.input_size[0] * self._stem_fold:
             det_frames = _avg_pool2(det_frames)
 
-        # 1. Detection network + decode (best face only → argmax, no NMS
-        #    needed for keep_top_k=1 semantics of the reference).
+        # 1. Detection network + decode. keep_top_k == 1 (the reference's
+        #    best-face semantics) needs only an argmax; K > 1 takes the
+        #    top-M candidates through the fixed-size NMS.
         x = (det_frames - 127.5) / 128.0
-        outs = self.detector.apply(det_vars, x, train=False)
+        if self._stem_fold > 1:
+            from .models.scrfd import fold_stem_pool_params
+
+            outs = self.detector_folded.apply(
+                fold_stem_pool_params(det_vars, self._stem_fold), x, train=False
+            )
+        else:
+            outs = self.detector.apply(det_vars, x, train=False)
         scores = jnp.concatenate(
             [jax.nn.sigmoid(outs[s]["scores"]) for s in STRIDES], axis=1
         )
         dist = jnp.concatenate([outs[s]["bbox"] for s in STRIDES], axis=1)
         kps = jnp.concatenate([outs[s]["kps"] for s in STRIDES], axis=1)
 
-        best = jnp.argmax(scores, axis=1)  # (B,)
-        conf = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+        K = self.keep_top_k
         boxes = decode_boxes(self._centers, self._strides, dist)
         landmarks = decode_landmarks(self._centers, self._strides, kps)
-        bbox = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
-        lms = jnp.take_along_axis(landmarks, best[:, None, None, None], axis=1)[:, 0]
-        has_face = conf >= self.confidence_threshold
+        if K == 1:
+            best = jnp.argmax(scores, axis=1)  # (B,)
+            conf = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+            bbox = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
+            lms = jnp.take_along_axis(
+                landmarks, best[:, None, None, None], axis=1
+            )[:, 0]
+            has_face = conf >= self.confidence_threshold
+            frame_idx = None
+        else:
+            from .ops.nms import nms_batched
+
+            # Static top-M prefilter keeps the NMS O(K·M) instead of O(K·A).
+            M = min(max(8 * K, 32), scores.shape[1])
+            top_s, top_i = jax.lax.top_k(scores, M)  # (B, M)
+            top_boxes = jnp.take_along_axis(boxes, top_i[..., None], axis=1)
+            top_lms = jnp.take_along_axis(
+                landmarks, top_i[..., None, None], axis=1
+            )
+            sel, valid = nms_batched(
+                top_boxes.astype(jnp.float32), top_s.astype(jnp.float32),
+                iou_threshold=self.nms_threshold, max_outputs=K,
+            )
+            safe = jnp.maximum(sel, 0)
+            conf = jnp.take_along_axis(top_s, safe, axis=1)  # (B, K)
+            bbox = jnp.take_along_axis(top_boxes, safe[..., None], axis=1)
+            lms = jnp.take_along_axis(top_lms, safe[..., None, None], axis=1)
+            has_face = valid & (conf >= self.confidence_threshold)
+            # Flatten the faces axis into the batch for align/quality/
+            # classify; frames are SHARED per K faces via frame_idx (no
+            # frame replication).
+            conf = conf.reshape(B * K)
+            bbox = bbox.reshape(B * K, 4)
+            lms = lms.reshape(B * K, 5, 2)
+            has_face = has_face.reshape(B * K)
+            frame_idx = jnp.repeat(jnp.arange(B, dtype=jnp.int32), K)
 
         # Canvas → serving coords (pixel centers: u_s = r·u + (r−1)/2), so
         # alignment reads original-resolution pixels and bbox/face-size
@@ -212,10 +284,12 @@ class FusedPipeline:
         tform = umeyama(lms, ref)
         if min(self.serving_size) > self.warp_window:
             aligned = warp_affine_windowed(
-                frames, tform, self.output_size, window=self.warp_window
+                frames, tform, self.output_size, window=self.warp_window,
+                frame_indices=frame_idx,
             )
         else:
-            aligned = warp_affine_auto(frames, tform, self.output_size)
+            src = frames if frame_idx is None else jnp.take(frames, frame_idx, axis=0)
+            aligned = warp_affine_auto(src, tform, self.output_size)
         aligned_lms = transform_points(tform, lms)
 
         # 3. Quality scoring on the aligned face (fused).
@@ -240,13 +314,34 @@ class FusedPipeline:
                 model_vars, x_tail, aligned_lms, train=False,
                 return_features=True, backbone_start_block=runner.tail_start,
             )
+        elif self.use_int8_tail:
+            from .models.efficientnet import EfficientNetBackbone, block_args
+            from .models.int8_tail import Int8TailRunner, default_tail_start
+
+            bbp = model_vars["params"]["feature_extractor"]["backbone"]
+            bbs = model_vars["batch_stats"]["feature_extractor"]["backbone"]
+            start = default_tail_start(self.model.variant)
+            backbone = EfficientNetBackbone(
+                variant=self.model.variant, capture_indices=(start - 1,),
+                dtype=jnp.bfloat16,
+            )
+            _, inter = backbone.apply(
+                {"params": bbp, "batch_stats": bbs}, norm, train=False,
+                return_maps=True, return_intermediate=True,
+            )
+            x_tail = Int8TailRunner(self.model.variant, bbp, bbs)(inter[start - 1])
+            logits, features = self.model.apply(
+                model_vars, x_tail, aligned_lms, train=False,
+                return_features=True,
+                backbone_start_block=len(block_args(self.model.variant)),
+            )
         else:
             logits, features = self.model.apply(
                 model_vars, norm, aligned_lms, train=False, return_features=True
             )
         probs = jax.nn.softmax(logits, axis=-1)
 
-        return {
+        out = {
             "has_face": has_face,
             "confidence": conf,
             "bbox": bbox,
@@ -257,6 +352,14 @@ class FusedPipeline:
             "fake_prob": jnp.where(has_face, probs[:, 1], 0.0),
             "features": features,
         }
+        if K > 1:
+            # Unflatten the faces axis: (B·K, ...) → (B, K, ...) and expose
+            # the validity mask under its config name.
+            out = {
+                k: v.reshape(B, K, *v.shape[1:]) for k, v in out.items()
+            }
+            out["face_valid"] = out["has_face"]
+        return out
 
     # ------------------------------------------------------------------
     def predict_clip(self, det_vars, model_vars, frames: np.ndarray, threshold: float = 0.5):

@@ -30,14 +30,28 @@ class _ConvBN(nn.Module):
     stride: int = 1
     groups: int = 1
     dtype: Any = jnp.float32
+    # fold_pool=p > 1: this conv ABSORBS a preceding p× average pool
+    # exactly — kernel p·k, stride p·s, explicit (0, p·pad_r) padding, and
+    # weights expanded by fold_stem_pool_params. Serving uses it to feed the
+    # detector full-resolution frames with zero pooling pass (the XLA NHWC
+    # C=3 pool ran at 3/128 lane utilization, ~8 ms at B=128·640²).
+    fold_pool: int = 1
 
     @nn.compact
     def __call__(self, x, train: bool = False):
+        p = self.fold_pool
+        if p == 1:
+            padding = "SAME"
+        else:
+            # TF-SAME of the pooled k3-s2 conv (pad (0,1) at even sizes)
+            # maps to (0, p) zeros on the original resolution: pooled pad
+            # column c spans p original columns.
+            padding = ((0, p), (0, p))
         x = nn.Conv(
             self.features,
-            (self.kernel, self.kernel),
-            strides=(self.stride, self.stride),
-            padding="SAME",
+            (self.kernel * p, self.kernel * p),
+            strides=(self.stride * p, self.stride * p),
+            padding=padding,
             feature_group_count=self.groups,
             use_bias=False,
             dtype=self.dtype,
@@ -91,12 +105,17 @@ class ScrfdDetector(nn.Module):
     head_width: int = 64
     head_depth: int = 2
     dtype: Any = jnp.float32
+    # stem_pool=p > 1: the first stem conv absorbs a p× average pool, so
+    # __call__ takes p·input_size frames and produces identical outputs to
+    # pool-then-detect (weights via fold_stem_pool_params).
+    stem_pool: int = 1
 
     @nn.compact
     def __call__(self, images: jnp.ndarray, train: bool = False):
         x = images.astype(self.dtype)
-        # Stem: stride 4
-        x = _ConvBN(self.widths[0], 3, 2, dtype=self.dtype)(x, train)
+        # Stem: stride 4 (× stem_pool when the first conv folds a pool)
+        x = _ConvBN(self.widths[0], 3, 2, dtype=self.dtype,
+                    fold_pool=self.stem_pool)(x, train)
         x = _ConvBN(self.widths[0], 3, 2, dtype=self.dtype)(x, train)
 
         feats = []
@@ -158,3 +177,27 @@ def _upsample2(x: jnp.ndarray) -> jnp.ndarray:
     B, H, W, C = x.shape
     y = jnp.broadcast_to(x[:, :, None, :, None, :], (B, H, 2, W, 2, C))
     return y.reshape(B, H * 2, W * 2, C)
+
+
+def fold_stem_pool_params(det_vars, pool: int):
+    """Expand the first stem conv's kernel so the detector with
+    ``stem_pool=pool`` reproduces pool-then-detect EXACTLY.
+
+    avg-pool(p) then conv(w) == conv(w') at stride p·s with
+    w'[p·i+a, p·j+b] = w[i, j] / p² for a, b < p — the composite window of
+    each pooled tap is its p×p original block. Pure function of the
+    checkpoint tree (usable inside jit; the expansion constant-folds).
+    """
+    if pool == 1:
+        return det_vars
+    params = dict(det_vars["params"])
+    stem = dict(params["_ConvBN_0"])
+    conv = dict(stem["Conv_0"])
+    k = conv["kernel"]  # (3, 3, Cin, Cout)
+    k = jnp.repeat(jnp.repeat(k, pool, axis=0), pool, axis=1) / (pool * pool)
+    conv["kernel"] = k
+    stem["Conv_0"] = conv
+    params["_ConvBN_0"] = stem
+    out = dict(det_vars)
+    out["params"] = params
+    return out

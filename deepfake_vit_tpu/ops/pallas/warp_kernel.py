@@ -139,64 +139,119 @@ def warp_affine_pallas(
 # ---------------------------------------------------------------------------
 
 
-def _crop_kernel(y8_ref, x0c_ref, img_ref, out_ref, *, WcC: int):
-    del y8_ref  # consumed by the index_map only
-    b = pl.program_id(0)
-    strip = img_ref[0]  # (ROWS, Ws·C) — rows already offset via index_map
-    rolled = pltpu.roll(strip, -x0c_ref[b], axis=1)
-    out_ref[0] = rolled[:, :WcC]
+def _crop_pool_kernel(
+    y0_ref, x0_ref, lvl_ref, fi_ref, img_ref, out_ref, strip_ref, sem, *,
+    window: int, H: int, WC: int, C: int, levels: int, y_align: int,
+):
+    """One grid cell per image: DMA ``window·2ˡ`` LEVEL-0 rows of the
+    selected mip level's support, then pool+crop to (window, window·C) with
+    two MXU matmuls — no pyramid materialization, no lane rotation (the
+    dynamic column offset is baked into the horizontal selection matrix, so
+    this lowers for any dtype; pltpu.roll is 32-bit-only on this Mosaic).
 
-
-@partial(jax.jit, static_argnames=("window",))
-def crop_window_pallas(
-    images: jnp.ndarray, y0: jnp.ndarray, x0: jnp.ndarray, window: int
-) -> jnp.ndarray:
-    """Extract per-image (window, window) crops at dynamic offsets.
-
-    TPU has no fast gather; this kernel gets dynamic offsets for free
-    instead: the ROW offset selects which 8-row HBM blocks are DMA'd into
-    VMEM (scalar-prefetch index_map — y0 must be a multiple of 8), and the
-    COLUMN offset is a lane rotation of each strip (arbitrary alignment).
-    Only the window's rows ever leave HBM.
-
-    images: (B, H, W, C) float32; y0/x0: (B,) int32 top-left corners,
-    0 ≤ y0 ≤ H−window (×8), 0 ≤ x0 ≤ W−window. Returns (B, window, window, C).
+    Vertical: Vp[o, r] = 2⁻ˡ · [r>>l == o]        (window, rows) static
+    Horizontal: Hp[s, j] = 2⁻ˡ · [(s//C)>>l == x0 + j//C] · [s%C == j%C]
+    crop = Vp @ strip @ Hp — exact 4ˡ-block averaging, identical to l
+    applications of ``_avg_pool2`` followed by the window crop.
     """
-    B, H, W, C = images.shape
-    ROWS = 8
-    WsC, WcC = W * C, window * C
-    # tpu.dynamic_rotate needs a lane-aligned operand: pad W·C up to a
-    # multiple of 128. The pad is junk-safe — max lane read is
-    # WcC−1 + max(x0)·C = W·C − 1, never into the padding.
-    WsC_pad = -(-WsC // 128) * 128
-    y8 = (y0 // ROWS).astype(jnp.int32)
-    x0c = (x0 * C).astype(jnp.int32)
+    b = pl.program_id(0)
+
+    for l in range(levels):
+        rows = window << l
+
+        @pl.when(lvl_ref[b] == l)
+        def _(l=l, rows=rows):
+            cp = pltpu.make_async_copy(
+                img_ref.at[
+                    fi_ref[b], pl.ds(pl.multiple_of(y0_ref[b], y_align), rows), :
+                ],
+                strip_ref.at[:rows],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            inv = 1.0 / (1 << l)
+
+            r_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 1)
+            o_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 0)
+            dt = out_ref.dtype
+            Vp = jnp.where((r_i >> l) == o_i, inv, 0.0).astype(dt)
+            t1 = jax.lax.dot_general(
+                Vp, strip_ref[:rows],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)  # (window, WC)
+
+            WcC = window * C
+            s_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 0)
+            j_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 1)
+            sx = s_i // C
+            sc = s_i - sx * C
+            jx = j_i // C
+            jc = j_i - jx * C
+            Hp = jnp.where(
+                ((sx >> l) == (jx + x0_ref[b])) & (sc == jc), inv, 0.0
+            ).astype(dt)
+            out_ref[0] = jax.lax.dot_general(
+                t1, Hp,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("window", "channels", "levels", "y_align"))
+def crop_window_pool_pallas(
+    frames_flat: jnp.ndarray, y0_l0: jnp.ndarray, x0: jnp.ndarray,
+    level: jnp.ndarray, window: int, channels: int, levels: int,
+    y_align: int = 16, frame_idx: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Per-image pooled window crops straight from level-0 frames.
+
+    frames_flat: (B, H, W·C) row-flattened frames (any width — no lane
+        padding needed; the column offset rides the selection matmul).
+    y0_l0: (N,) int32 LEVEL-0 row offsets (selected-level y0 << level,
+        ``y_align``-aligned); x0: (N,) selected-LEVEL column offsets;
+    level: (N,) int32. ``frame_idx`` (N,) maps each output crop to its
+    source frame (multi-face serving: K crops share one frame without
+    materializing K frame copies); default identity (N == B).
+    Returns (N, window, window·C) in the frame dtype.
+
+    Replaces the XLA mip pyramid + level crops + select of the round-2
+    windowed warp (~13 ms of the 24.9 ms align stage at B=128: pooling at
+    NHWC C=3 uses 3/128 lanes; here pooling is two dense MXU contractions
+    inside the crop cell, and only the selected level's support rows ever
+    leave HBM).
+    """
+    B, H, WC = frames_flat.shape
+    if frame_idx is None:
+        frame_idx = jnp.arange(y0_l0.shape[0], dtype=jnp.int32)
+    N = y0_l0.shape[0]
+    WcC = window * channels
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(B, window // ROWS),
-        in_specs=[
-            pl.BlockSpec(
-                (1, ROWS, WsC_pad), lambda b, r, y8, x0c: (b, y8[b] + r, 0),
-                memory_space=pltpu.VMEM,
-            ),
-        ],
+        num_scalar_prefetch=4,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
         out_specs=pl.BlockSpec(
-            (1, ROWS, WcC), lambda b, r, y8, x0c: (b, r, 0),
+            (1, window, WcC), lambda b, y0, x0, lvl, fi: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
+        scratch_shapes=[
+            pltpu.VMEM((window << (levels - 1), WC), frames_flat.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
     )
     out = pl.pallas_call(
-        partial(_crop_kernel, WcC=WcC),
+        partial(_crop_pool_kernel, window=window, H=H, WC=WC, C=channels,
+                levels=levels, y_align=y_align),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((B, window, WcC), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((N, window, WcC), frames_flat.dtype),
         cost_estimate=pl.CostEstimate(
-            flops=0,
-            bytes_accessed=B * window * (WsC_pad + WcC) * 4,
+            flops=2 * N * window * WC * ((window << (levels - 1)) + WcC),
+            bytes_accessed=N * window * (WC + WcC) * frames_flat.dtype.itemsize,
             transcendentals=0,
         ),
     )
-    flat = images.reshape(B, H, WsC).astype(jnp.float32)
-    if WsC_pad != WsC:
-        flat = jnp.pad(flat, ((0, 0), (0, 0), (0, WsC_pad - WsC)))
-    return out(y8, x0c, flat).reshape(B, window, window, C)
+    return out(y0_l0.astype(jnp.int32), x0.astype(jnp.int32),
+               level.astype(jnp.int32), frame_idx.astype(jnp.int32),
+               frames_flat)

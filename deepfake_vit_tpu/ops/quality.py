@@ -10,8 +10,8 @@ whole batch of faces instead of five sequential cv2 passes per image:
 - contrast: gray std ≥ min_contrast
 - occlusion: mean variance of 5 landmark-centered patches (size
   min(H,W)//10, windows clipped at borders exactly as the reference clips)
-  / 1000, clipped to [0,1], ≥ occlusion_threshold — computed via integral
-  images (see _patch_variance).
+  / 1000, clipped to [0,1], ≥ occlusion_threshold — computed via
+  interval-hot matmuls (see _patch_variance_batch).
 - detection confidence passes through.
 
 Per-metric normalization and the fixed weight vector
@@ -51,40 +51,49 @@ QUALITY_WEIGHTS = dict(
 def _patch_variance(gray: jnp.ndarray, landmarks: jnp.ndarray, region: int) -> jnp.ndarray:
     """Mean variance of region-sized patches centered at the 5 landmarks.
 
-    Integral-image formulation: O(HW) cumsums once, then each patch variance
-    is 8 corner lookups — no per-landmark dynamic slices (which lower to
-    slow gathers on TPU). Windows are CLIPPED at image borders with the true
-    pixel count in the denominator, exactly the reference's semantics
+    Interval-hot matmul formulation: each clipped window sum is
+    R[k]·gray·C[k]ᵀ with R/C 0-1 row/column interval indicators built from
+    iota — two tiny MXU contractions for the whole batch, no per-landmark
+    dynamic slices (slow gathers on TPU) and no 2-axis cumsum scans (the
+    integral-image route's sequential passes cost more than the matmuls at
+    batch scale). Windows are CLIPPED at image borders with the true pixel
+    count in the denominator, exactly the reference's semantics
     (quality_checker.py:227-246).
     """
-    H, W = gray.shape
+    return _patch_variance_batch(gray[None], landmarks[None], region)[0]
+
+
+def _patch_variance_batch(
+    gray: jnp.ndarray, landmarks: jnp.ndarray, region: int
+) -> jnp.ndarray:
+    """Batched patch variance: gray (B, H, W), landmarks (B, 5, 2) → (B,)."""
+    B, H, W = gray.shape
     half = region // 2
-
-    # Zero-padded integral images: ii[y, x] = sum of gray[:y, :x].
-    ii = jnp.pad(jnp.cumsum(jnp.cumsum(gray, 0), 1), ((1, 0), (1, 0)))
-    ii2 = jnp.pad(jnp.cumsum(jnp.cumsum(gray * gray, 0), 1), ((1, 0), (1, 0)))
-
-    x = landmarks[:, 0].astype(jnp.int32)
-    y = landmarks[:, 1].astype(jnp.int32)
+    x = landmarks[..., 0].astype(jnp.int32)  # (B, 5)
+    y = landmarks[..., 1].astype(jnp.int32)
     x1 = jnp.clip(x - half, 0, W)
     y1 = jnp.clip(y - half, 0, H)
     x2 = jnp.clip(x + half, 0, W)
     y2 = jnp.clip(y + half, 0, H)
 
-    def box(img):
-        return (
-            img[y2, x2] - img[y1, x2] - img[y2, x1] + img[y1, x1]
-        )
+    ii = jnp.arange(H, dtype=jnp.int32)
+    jj = jnp.arange(W, dtype=jnp.int32)
+    R = ((ii >= y1[..., None]) & (ii < y2[..., None])).astype(gray.dtype)  # (B,5,H)
+    Cm = ((jj >= x1[..., None]) & (jj < x2[..., None])).astype(gray.dtype)  # (B,5,W)
 
-    n = jnp.maximum((x2 - x1) * (y2 - y1), 1).astype(gray.dtype)
-    s1 = box(ii)
-    s2 = box(ii2)
+    T1 = jnp.einsum("bkh,bhw->bkw", R, gray)
+    T2 = jnp.einsum("bkh,bhw->bkw", R, gray * gray)
+    s1 = jnp.sum(T1 * Cm, axis=-1)  # (B, 5)
+    s2 = jnp.sum(T2 * Cm, axis=-1)
+
+    area = (x2 - x1) * (y2 - y1)
+    n = jnp.maximum(area, 1).astype(gray.dtype)
     mean = s1 / n
     var = s2 / n - mean * mean
     # Empty windows (landmark fully outside) contribute 0 like the reference
     # skips them; keep the mean over the 5 landmarks.
-    var = jnp.where((x2 - x1) * (y2 - y1) > 0, var, 0.0)
-    return jnp.mean(var)
+    var = jnp.where(area > 0, var, 0.0)
+    return jnp.mean(var, axis=-1)
 
 
 def quality_scores(
@@ -110,7 +119,7 @@ def quality_scores(
     contrast = jnp.std(gray, axis=(1, 2))
 
     region = max(min(H, W) // 10, 2)
-    occ_var = jax.vmap(lambda g, lm: _patch_variance(g, lm, region))(gray, landmarks)
+    occ_var = _patch_variance_batch(gray, landmarks, region)
     occlusion = jnp.minimum(occ_var / 1000.0, 1.0)
 
     w = bboxes[:, 2] - bboxes[:, 0]

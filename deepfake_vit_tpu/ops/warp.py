@@ -245,6 +245,7 @@ def window_geometry(
     src_hw: Tuple[int, int],
     window: int,
     levels: int,
+    y_align: int = 8,
 ):
     """Per-image mip level, crop offsets, and window-space affine.
 
@@ -253,7 +254,9 @@ def window_geometry(
     A_win (B, 2, 3) dst→window affines for the selected level).
 
     Level ℓ is the smallest whose 2⁻ℓ-scaled output quad (+1px bilinear
-    margin each side) fits the window, honoring the 8-row alignment slack;
+    margin each side) fits the window, honoring the ``y_align``-row
+    alignment slack (8 for f32 crops, 16 for bf16 whose VMEM sublane tile
+    is 16);
     the quad may exceed the FRAME freely — out-of-frame taps fall outside
     the clipped window and get zero tri-weight, i.e. BORDER_CONSTANT=0.
     """
@@ -274,7 +277,7 @@ def window_geometry(
     level = jnp.zeros(a.shape, jnp.int32)
     for l in range(levels - 1):
         fit = ((span_x / 2**l + 2.0) <= window - 1) & (
-            (span_y / 2**l + 2.0) <= window - 8
+            (span_y / 2**l + 2.0) <= window - y_align
         )
         level = level + (~fit).astype(jnp.int32)
 
@@ -288,8 +291,10 @@ def window_geometry(
         x0 = jnp.clip(
             jnp.round(cx_l - window / 2).astype(jnp.int32), 0, Wl - window
         )
-        y0_raw = jnp.floor((cy_l - window / 2) / 8.0).astype(jnp.int32) * 8
-        y0 = jnp.clip(y0_raw, 0, Hl - window)
+        y0_raw = (
+            jnp.floor((cy_l - window / 2) / y_align).astype(jnp.int32) * y_align
+        )
+        y0 = jnp.clip(y0_raw, 0, (Hl - window) // y_align * y_align)
         x0s.append(x0)
         y0s.append(y0)
 
@@ -324,6 +329,7 @@ def warp_affine_windowed(
     levels: Optional[int] = None,
     inverse: bool = False,
     use_pallas: Optional[bool] = None,
+    frame_indices: Optional[jnp.ndarray] = None,
 ) -> jnp.ndarray:
     """Affine warp via per-image window crop from a mip pyramid.
 
@@ -332,8 +338,13 @@ def warp_affine_windowed(
     source and the only affordable route from original-resolution frames.
     Exactly equal to the full warp whenever the output quad (+1px) fits the
     window at level 0; larger faces sample a 2ˡ× average-pooled level.
+
+    ``frame_indices`` (N,) maps each of the N matrices to a source frame in
+    ``images`` (multi-face serving: K faces per frame share its pixels with
+    no frame replication). Default: identity, N == B.
     """
     B, Hs, Ws, C = images.shape
+    N = matrices.shape[0]
     if levels is None:
         levels = max_window_levels((Hs, Ws), window)
     if min(Hs, Ws) < window:
@@ -343,30 +354,47 @@ def warp_affine_windowed(
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
 
-    images = images.astype(jnp.float32)
     A_inv = matrices if inverse else invert_affine(matrices)
+
+    if use_pallas:
+        from .pallas.warp_kernel import crop_window_pool_pallas, warp_affine_pallas
+
+        # bf16 end to end: the downstream warp kernel quantizes pixels to
+        # bf16 anyway, and bf16 halves every frame-side HBM pass. bf16
+        # VMEM sublane tiles are 16 rows → y_align=16.
+        images = images.astype(jnp.bfloat16)
+        level, y0s, x0s, A_win = window_geometry(
+            A_inv, out_size, (Hs, Ws), window, levels, y_align=16
+        )
+        # ONE pallas call per batch crops every face's pooled window
+        # straight from the level-0 frames (in-kernel 4ˡ-block averaging —
+        # no XLA mip pyramid, whose NHWC C=3 pooling ran at 3/128 lane
+        # utilization and dominated the round-2 align stage).
+        x0_sel = jnp.stack(x0s)[level, jnp.arange(N)]
+        y0_sel = jnp.stack(y0s)[level, jnp.arange(N)]
+        y0_l0 = jnp.left_shift(y0_sel, level)
+        crop = crop_window_pool_pallas(
+            images.reshape(B, Hs, Ws * C), y0_l0, x0_sel, level,
+            window, C, levels, y_align=16, frame_idx=frame_indices,
+        ).reshape(N, window, window, C)
+        return warp_affine_pallas(crop, A_win, out_size, inverse=True)
+
+    images = images.astype(jnp.float32)
+    if frame_indices is not None:
+        images = jnp.take(images, frame_indices, axis=0)
     level, y0s, x0s, A_win = window_geometry(
         A_inv, out_size, (Hs, Ws), window, levels
     )
-
-    if use_pallas:
-        from .pallas.warp_kernel import crop_window_pallas, warp_affine_pallas
-
-        crop_fn, warp_fn = crop_window_pallas, warp_affine_pallas
-    else:
-        crop_fn = _crop_window_xla
-        warp_fn = warp_affine
-
     pyr = images
     crop = None
     for l in range(levels):
-        cand = crop_fn(pyr, y0s[l], x0s[l], window)
+        cand = _crop_window_xla(pyr, y0s[l], x0s[l], window)
         crop = cand if crop is None else jnp.where(
             (level == l)[:, None, None, None], cand, crop
         )
         if l + 1 < levels:
             pyr = _avg_pool2(pyr)
-    return warp_fn(crop, A_win, out_size, inverse=True)
+    return warp_affine(crop, A_win, out_size, inverse=True)
 
 
 def warp_affine_auto(

@@ -42,7 +42,20 @@ _DEFAULTS = dict(
     save_dir="checkpoints",
     save_best_only=False,
     remat=False,
+    tb_dir=None,
 )
+
+
+def _rss_mb() -> float:
+    """Resident set size in MB (Linux /proc; 0.0 where unavailable)."""
+    try:
+        with open("/proc/self/status") as f:
+            for line in f:
+                if line.startswith("VmRSS:"):
+                    return float(line.split()[1]) / 1024.0
+    except OSError:
+        pass
+    return 0.0
 
 
 class Trainer:
@@ -86,6 +99,14 @@ class Trainer:
         )
         self.evaluator = Evaluator(model, criterion, use_landmarks, mesh)
         self.tracker = MetricsTracker()
+        # TensorBoard-format event writer (utils/tb_writer.py — no
+        # tensorboard package needed); closes the reference's declared-but-
+        # never-written runs/ intent.
+        self.tb = None
+        if self.config.get("tb_dir"):
+            from ..utils.tb_writer import SummaryWriter
+
+            self.tb = SummaryWriter(self.config["tb_dir"])
 
         self._early_stop_best: Optional[float] = None
         self._early_stop_count = 0
@@ -149,12 +170,29 @@ class Trainer:
             if is_best or (periodic and not self.config["save_best_only"]):
                 self.save_checkpoint(epoch, is_best=is_best)
 
+            rss = _rss_mb()
+            if self.tb is not None:
+                self.tb.add_scalars(
+                    {
+                        "train/loss": train_metrics["loss"],
+                        "train/accuracy": train_metrics["accuracy"],
+                        "val/loss": val_metrics["loss"],
+                        "val/accuracy": val_metrics["accuracy"],
+                        "val/roc_auc": val_metrics.get("roc_auc", float("nan")),
+                        "lr": lr if lr is not None else float("nan"),
+                        "host/rss_mb": rss,
+                    },
+                    step=epoch + 1,
+                )
+                self.tb.flush()
+
             self._log(
                 f"[epoch {epoch + 1}/{num_epochs}] "
                 f"train_loss={train_metrics['loss']:.4f} train_acc={train_metrics['accuracy']:.4f} "
                 f"val_loss={val_metrics['loss']:.4f} val_acc={val_metrics['accuracy']:.4f} "
                 f"val_auc={val_metrics.get('roc_auc', float('nan')):.4f} "
                 f"lr={lr if lr is not None else float('nan'):.2e} "
+                f"rss={rss:.0f}MB "
                 f"({train_metrics['epoch_time_s']:.1f}s)"
                 + (" *best*" if is_best else "")
             )
@@ -164,6 +202,8 @@ class Trainer:
                 break
 
         self._log(f"training done in {time.perf_counter() - total_t0:.1f}s")
+        if self.tb is not None:
+            self.tb.close()
         self.tracker.summary(self.logger)
         return self.tracker
 

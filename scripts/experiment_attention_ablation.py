@@ -49,7 +49,13 @@ def main():
     parser.add_argument("--lr", type=float, default=3e-4,
                         help="from-scratch training (no ImageNet weights in the "
                         "image) wants a hotter LR than the fine-tune default")
-    parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--seed", type=int, default=42,
+                        help="corpus/render seed (data is FIXED across training seeds)")
+    parser.add_argument("--train-seeds", type=str, default=None,
+                        help="comma-separated training seeds, e.g. '42,43,44' — "
+                        "runs each arm once per seed on the SAME data and "
+                        "reports mean ± std AUC (VERDICT round-2 item 5: the "
+                        "single-seed +0.03 delta needs error bars)")
     parser.add_argument("--variant", type=str, default="b0")
     parser.add_argument("--skip-render", action="store_true")
     parser.add_argument("--skip-preprocess", action="store_true")
@@ -82,45 +88,67 @@ def main():
         run([sys.executable, REPO / "scripts/preprocess_dataset.py",
              "--config", pre_cfg, "--datasets", "gen_ai"])
 
-    # 3+4. Train + evaluate both arms ----------------------------------------
-    results = {}
+    # 3+4. Train + evaluate both arms (× training seeds) ---------------------
+    train_seeds = (
+        [int(x) for x in args.train_seeds.split(",")]
+        if args.train_seeds else [args.seed]
+    )
+    results = {"attention": [], "ablation": []}
     for arm, use_landmark in (("attention", True), ("ablation", False)):
-        cfg = yaml.safe_load(open(REPO / "deepfake_vit_tpu/configs/model_config.yaml"))
-        cfg["model"]["feature_extractor"]["variant"] = args.variant
-        cfg["model"]["feature_extractor"]["attention_config"]["use_landmark"] = use_landmark
-        if not use_landmark:
-            # Full ablation arm: no landmark-derived signal anywhere.
-            cfg["model"]["feature_extractor"]["attention_config"]["use_spatial"] = False
-            cfg["model"]["feature_extractor"]["attention_config"]["use_channel"] = False
-            cfg["model"]["feature_extractor"]["use_attention"] = False
-        cfg["data"]["processed_dir"] = str(processed)
-        cfg["data"]["batch_size"] = args.batch_size
-        cfg["training"]["num_epochs"] = args.epochs
-        cfg["training"]["optimizer"]["lr"] = args.lr
-        cfg["seed"] = args.seed
-        cfg.setdefault("checkpoint", {})["save_dir"] = str(ws / f"ckpt_{arm}")
-        cfg.setdefault("validation", {})["save_freq"] = max(args.epochs // 2, 1)
-        cfg.setdefault("logging", {})["log_dir"] = str(ws / f"runs_{arm}")
-        cfg["early_stopping"] = {"patience": args.epochs}  # run all epochs
-        cfg_path = ws / f"model_{arm}.yaml"
-        yaml.safe_dump(cfg, open(cfg_path, "w"))
+      for tseed in train_seeds:
+          cfg = yaml.safe_load(open(REPO / "deepfake_vit_tpu/configs/model_config.yaml"))
+          cfg["model"]["feature_extractor"]["variant"] = args.variant
+          cfg["model"]["feature_extractor"]["attention_config"]["use_landmark"] = use_landmark
+          if not use_landmark:
+              # Full ablation arm: no landmark-derived signal anywhere.
+              cfg["model"]["feature_extractor"]["attention_config"]["use_spatial"] = False
+              cfg["model"]["feature_extractor"]["attention_config"]["use_channel"] = False
+              cfg["model"]["feature_extractor"]["use_attention"] = False
+          cfg["data"]["processed_dir"] = str(processed)
+          cfg["data"]["batch_size"] = args.batch_size
+          cfg["training"]["num_epochs"] = args.epochs
+          cfg["training"]["optimizer"]["lr"] = args.lr
+          cfg["seed"] = tseed
+          tag = f"{arm}_s{tseed}" if len(train_seeds) > 1 else arm
+          cfg.setdefault("checkpoint", {})["save_dir"] = str(ws / f"ckpt_{tag}")
+          cfg.setdefault("validation", {})["save_freq"] = max(args.epochs // 2, 1)
+          cfg.setdefault("logging", {})["log_dir"] = str(ws / f"runs_{tag}")
+          cfg["early_stopping"] = {"patience": args.epochs}  # run all epochs
+          cfg_path = ws / f"model_{tag}.yaml"
+          yaml.safe_dump(cfg, open(cfg_path, "w"))
 
-        run([sys.executable, REPO / "scripts/train.py", "--config", cfg_path])
-        out_dir = ws / f"eval_{arm}"
-        run([sys.executable, REPO / "scripts/evaluate.py",
-             "--checkpoint", ws / f"ckpt_{arm}" / "best_model.ckpt",
-             "--config", cfg_path, "--output-dir", out_dir])
-        metrics = json.load(open(out_dir / "eval_test.json"))
-        if isinstance(metrics, list):  # save_metrics appends: take latest
-            metrics = metrics[-1]
-        results[arm] = metrics
+          run([sys.executable, REPO / "scripts/train.py", "--config", cfg_path])
+          out_dir = ws / f"eval_{tag}"
+          run([sys.executable, REPO / "scripts/evaluate.py",
+               "--checkpoint", ws / f"ckpt_{tag}" / "best_model.ckpt",
+               "--config", cfg_path, "--output-dir", out_dir])
+          metrics = json.load(open(out_dir / "eval_test.json"))
+          if isinstance(metrics, list):  # save_metrics appends: take latest
+              metrics = metrics[-1]
+          metrics["train_seed"] = tseed
+          results[arm].append(metrics)
 
+    import statistics
+
+    def agg(arm, key):
+        vals = [m.get(key) for m in results[arm] if m.get(key) is not None]
+        return {
+            "mean": statistics.mean(vals),
+            "std": statistics.stdev(vals) if len(vals) > 1 else 0.0,
+            "per_seed": vals,
+        }
+
+    auc_att, auc_abl = agg("attention", "roc_auc"), agg("ablation", "roc_auc")
+    deltas = [a - b for a, b in zip(auc_att["per_seed"], auc_abl["per_seed"])]
     summary = {
-        "auc_attention": results["attention"].get("roc_auc"),
-        "auc_ablation": results["ablation"].get("roc_auc"),
-        "acc_attention": results["attention"].get("accuracy"),
-        "acc_ablation": results["ablation"].get("accuracy"),
-        "delta_auc": results["attention"].get("roc_auc", 0) - results["ablation"].get("roc_auc", 0),
+        "auc_attention": auc_att,
+        "auc_ablation": auc_abl,
+        "acc_attention": agg("attention", "accuracy"),
+        "acc_ablation": agg("ablation", "accuracy"),
+        "delta_auc_mean": statistics.mean(deltas),
+        "delta_auc_std": statistics.stdev(deltas) if len(deltas) > 1 else 0.0,
+        "delta_auc_per_seed": deltas,
+        "train_seeds": train_seeds,
         "n_per_class": args.n_per_class,
         "epochs": args.epochs,
         "variant": args.variant,

@@ -28,22 +28,26 @@ IMAGE_EXTS = {".jpg", ".jpeg", ".png", ".bmp", ".webp"}
 VIDEO_EXTS = {".mp4", ".avi", ".mov", ".mkv", ".webm"}
 
 
-def frame_producer(files, frame_count, det_size, out_queue, stop):
-    """Decode files → (file_idx, frame RGB float32 at detection size)."""
+def frame_producer(jobs, frame_count, serving_size, out_queue, stop):
+    """Decode files → (file_idx, uint8 RGB frame letterboxed at SERVING size).
+
+    uint8 canvases keep H2D transfers 4× smaller than float32; the fused
+    graph casts on device. ``jobs`` is [(file_idx, path)] — one producer
+    handles a file completely (videos stay within one thread)."""
     import cv2
 
-    H, W = det_size
+    H, W = serving_size
 
     def fit(rgb):
         h, w = rgb.shape[:2]
         scale = min(W / w, H / h)
         nw, nh = int(round(w * scale)), int(round(h * scale))
         resized = cv2.resize(rgb, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        canvas = np.zeros((H, W, 3), np.float32)
+        canvas = np.zeros((H, W, 3), np.uint8)
         canvas[:nh, :nw] = resized
         return canvas, scale
 
-    for idx, path in enumerate(files):
+    for idx, path in jobs:
         if stop.is_set():
             break
         suffix = path.suffix.lower()
@@ -82,6 +86,15 @@ def main():
     parser.add_argument("--output", type=str, default="predictions.csv")
     parser.add_argument("--batch-size", type=int, default=64)
     parser.add_argument("--det-size", type=int, default=320)
+    parser.add_argument(
+        "--serving-size", type=int, default=None,
+        help="frame resolution (power-of-2 multiple of --det-size; default = "
+             "--det-size). Detection runs on the pooled --det-size canvas; "
+             "alignment warps from the original serving-resolution pixels "
+             "(the headline 640/320 config: --serving-size 640 --det-size 320)",
+    )
+    parser.add_argument("--workers", type=int, default=4,
+                        help="decode threads feeding the device")
     parser.add_argument("--frames", type=int, default=5)
     parser.add_argument("--threshold", type=float, default=0.5)
     parser.add_argument("--confidence", type=float, default=0.5)
@@ -101,9 +114,12 @@ def main():
     model_config = load_config(args.config or cfg_dir / "model_config.yaml")
 
     det_size = (args.det_size, args.det_size)
+    serving = args.serving_size or args.det_size
+    serving_size = (serving, serving)
     pipe = FusedPipeline(
         model_config,
         detection_input_size=det_size,
+        serving_size=serving_size,
         confidence_threshold=args.confidence,
     )
     cpu = jax.devices("cpu")[0]
@@ -122,14 +138,25 @@ def main():
         p for p in Path(args.data_dir).iterdir()
         if p.suffix.lower() in IMAGE_EXTS | VIDEO_EXTS
     )
-    logger.info(f"{len(files)} files; batch {args.batch_size}; det {det_size}")
+    logger.info(
+        f"{len(files)} files; batch {args.batch_size}; serving {serving_size}; "
+        f"det {det_size}; {args.workers} decode workers"
+    )
 
     q: "queue.Queue" = queue.Queue(maxsize=args.batch_size * 3)
     stop = threading.Event()
-    producer = threading.Thread(
-        target=frame_producer, args=(files, args.frames, det_size, q, stop), daemon=True
-    )
-    producer.start()
+    n_workers = max(1, args.workers)
+    jobs = list(enumerate(files))
+    producers = [
+        threading.Thread(
+            target=frame_producer,
+            args=(jobs[w::n_workers], args.frames, serving_size, q, stop),
+            daemon=True,
+        )
+        for w in range(n_workers)
+    ]
+    for t in producers:
+        t.start()
 
     sums = np.zeros(len(files))
     counts = np.zeros(len(files))
@@ -163,17 +190,23 @@ def main():
         pad = args.batch_size - n
         frames = np.stack(buf_frames)
         if pad:
-            frames = np.concatenate([frames, np.zeros((pad, *det_size, 3), np.float32)])
+            frames = np.concatenate(
+                [frames, np.zeros((pad, *serving_size, 3), np.uint8)]
+            )
         out_dev = forward(det_vars, model_vars, jnp.asarray(frames))
         prev, pending = pending, (out_dev, buf_idx, n)
         buf_frames, buf_idx = [], []
         if prev is not None:
             drain(prev)
 
+    done_producers = 0
     while True:
         item = q.get()
         if item is None:
-            break
+            done_producers += 1
+            if done_producers == n_workers:
+                break
+            continue
         idx, frame = item
         buf_frames.append(frame)
         buf_idx.append(idx)

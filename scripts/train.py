@@ -150,6 +150,9 @@ def main():
             "save_dir": config.get("checkpoint", {}).get("save_dir", "checkpoints"),
             "max_keep": config.get("checkpoint", {}).get("max_keep", 5),
             "save_best_only": config.get("checkpoint", {}).get("save_best_only", False),
+            "tb_dir": str(
+                Path(config.get("logging", {}).get("log_dir", "runs")) / "tb"
+            ),
         },
         use_landmarks=data_cfg.get("use_landmarks", True),
         mesh=mesh,

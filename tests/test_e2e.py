@@ -145,3 +145,71 @@ def test_serving_size_decoupled_from_detection(rng):
 
     with _pytest.raises(ValueError):
         test_bad_ratio()
+
+
+def test_multi_face_serving_keep_top_k(rng):
+    """keep_top_k > 1 (reference preprocessing_config.yaml:9): outputs gain
+    a faces axis with a validity mask; face 0 must agree with the K=1
+    best-face path; the K=1 contract is unchanged elsewhere."""
+    model_cfg = {
+        "model": {
+            "feature_extractor": {"variant": "b0", "dropout_rate": 0.2},
+            "classifier": {"hidden_dims": [16], "num_classes": 2},
+        }
+    }
+    common = dict(
+        detection_input_size=(128, 128), output_size=(64, 64),
+        confidence_threshold=0.0, dtype=jnp.float32,
+    )
+    pipe1 = FusedPipeline(model_cfg, **common)
+    pipeK = FusedPipeline(model_cfg, keep_top_k=3, **common)
+    det_vars, model_vars = pipe1.init_variables(jax.random.PRNGKey(0))
+
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 128, 128, 3)), jnp.float32)
+    out1 = jax.device_get(pipe1.forward(det_vars, model_vars, frames))
+    outK = jax.device_get(pipeK.forward(det_vars, model_vars, frames))
+
+    assert outK["probs"].shape == (4, 3, 2)
+    assert outK["face_valid"].shape == (4, 3)
+    assert outK["bbox"].shape == (4, 3, 4)
+    assert outK["landmarks"].shape == (4, 3, 5, 2)
+    # Face 0 == the K=1 best face (NMS picks highest score first).
+    np.testing.assert_allclose(
+        outK["confidence"][:, 0], out1["confidence"], atol=1e-5
+    )
+    np.testing.assert_allclose(outK["bbox"][:, 0], out1["bbox"], atol=1e-3)
+    # Invalid faces carry fake_prob 0.
+    fp = outK["fake_prob"]
+    assert np.all(fp[~outK["face_valid"]] == 0.0)
+    # NMS semantics: valid faces within a frame don't heavily overlap.
+    from deepfake_vit_tpu.ops.nms import iou_matrix
+    for b in range(4):
+        vb = outK["face_valid"][b]
+        if vb.sum() >= 2:
+            ious = np.asarray(iou_matrix(
+                jnp.asarray(outK["bbox"][b]), jnp.asarray(outK["bbox"][b])
+            ))
+            off = ious[np.triu_indices(3, 1)]
+            vv = np.outer(vb, vb)[np.triu_indices(3, 1)]
+            assert np.all(off[vv] <= 0.4 + 1e-4)
+
+
+def test_stem_pool_fold_exact(rng):
+    """pool(2×) → detector == folded k6-s4 stem on full-res frames, with
+    weights expanded by fold_stem_pool_params — exact to accumulation
+    order (models/scrfd.py)."""
+    from deepfake_vit_tpu.models.scrfd import ScrfdDetector, fold_stem_pool_params
+    from deepfake_vit_tpu.ops.warp import _avg_pool2
+
+    det = ScrfdDetector(dtype=jnp.float32)
+    det_folded = ScrfdDetector(dtype=jnp.float32, stem_pool=2)
+    frames = jnp.asarray(rng.uniform(-1, 1, (2, 128, 128, 3)), jnp.float32)
+    pooled = _avg_pool2(frames)
+    v = det.init(jax.random.PRNGKey(0), pooled)
+    ref = det.apply(v, pooled, train=False)
+    out = det_folded.apply(fold_stem_pool_params(v, 2), frames, train=False)
+    for s in ref:
+        for k in ref[s]:
+            np.testing.assert_allclose(
+                np.asarray(out[s][k]), np.asarray(ref[s][k]), atol=2e-4
+            )

@@ -39,3 +39,42 @@ def test_pallas_warp_border_zero(rng):
     ref = np.asarray(warp_affine(jnp.asarray(img), jnp.asarray(M), (40, 40)))
     np.testing.assert_allclose(out, ref, atol=1.5)
     assert out[0, :, -5:, :].max() == 0.0  # fully-outside region is border 0
+
+
+def test_crop_window_pool_pallas_matches_xla(rng):
+    """Pool-fused crop kernel (one cell per image, in-kernel 4^l-block
+    averaging, selection-matmul column offset) vs XLA pyramid + crop."""
+    from deepfake_vit_tpu.ops.pallas.warp_kernel import crop_window_pool_pallas
+    from deepfake_vit_tpu.ops.warp import _avg_pool2, _crop_window_xla
+
+    B, H, W, C, window = 6, 128, 192, 3, 32
+    img = jnp.asarray(rng.uniform(0, 255, (B, H, W, C)), jnp.float32)
+    levels = 3  # 32 << 2 = 128 rows max support fits H
+    level = jnp.asarray([0, 1, 2, 0, 1, 2], jnp.int32)
+    # Selected-level offsets (y0 16-aligned per the bf16 tile contract).
+    y0 = jnp.asarray([0, 16, 0, 96, 32, 0], jnp.int32)
+    x0 = jnp.asarray([0, 17, 8, 160, 5, 16], jnp.int32)
+
+    y0_l0 = jnp.left_shift(y0, level)
+    out = None
+    for dtype in (jnp.float32, jnp.bfloat16):
+        with pltpu.force_tpu_interpret_mode():
+            out = np.asarray(
+                crop_window_pool_pallas(
+                    img.astype(dtype).reshape(B, H, W * C),
+                    y0_l0, x0, level, window, C, levels,
+                ).astype(jnp.float32)
+            ).reshape(B, window, window, C)
+
+        pyr = img
+        refs = []
+        for l in range(levels):
+            refs.append(pyr)
+            pyr = _avg_pool2(pyr)
+        for b in range(B):
+            lv = int(level[b])
+            ref = _crop_window_xla(
+                refs[lv][b:b + 1], y0[b:b + 1], x0[b:b + 1], window
+            )[0]
+            atol = 1e-4 if dtype == jnp.float32 else 1.5
+            np.testing.assert_allclose(out[b], np.asarray(ref), atol=atol)

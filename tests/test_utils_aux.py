@@ -137,3 +137,108 @@ def test_step_timer():
     assert stats["steps_timed"] == 3
     assert stats["samples_per_sec"] > 0
     device_sync(x)  # smoke
+
+
+# ---------------------------------------------------------------------------
+# TensorBoard event writer (utils/tb_writer.py)
+# ---------------------------------------------------------------------------
+
+
+def _read_tfrecords(path):
+    """Parse TFRecord framing back, verifying both masked CRCs."""
+    import struct
+
+    from deepfake_vit_tpu.utils.tb_writer import _masked_crc
+
+    records = []
+    data = open(path, "rb").read()
+    off = 0
+    while off < len(data):
+        (length,) = struct.unpack_from("<Q", data, off)
+        (hcrc,) = struct.unpack_from("<I", data, off + 8)
+        assert hcrc == _masked_crc(data[off:off + 8])
+        payload = data[off + 12:off + 12 + length]
+        (dcrc,) = struct.unpack_from("<I", data, off + 12 + length)
+        assert dcrc == _masked_crc(payload)
+        records.append(payload)
+        off += 16 + length
+    return records
+
+
+def _parse_scalars(payload):
+    """Minimal proto walk: Event.summary(5).Value(1).{tag(1), simple_value(2)}."""
+    import struct
+
+    def varint(buf, i):
+        shift = v = 0
+        while True:
+            b = buf[i]
+            v |= (b & 0x7F) << shift
+            i += 1
+            if not b & 0x80:
+                return v, i
+            shift += 7
+
+    out = {}
+    i = 0
+    while i < len(payload):
+        key, i = varint(payload, i)
+        field, wire = key >> 3, key & 7
+        if wire == 0:
+            _, i = varint(payload, i)
+        elif wire == 1:
+            i += 8
+        elif wire == 5:
+            i += 4
+        elif wire == 2:
+            ln, i = varint(payload, i)
+            chunk = payload[i:i + ln]
+            i += ln
+            if field == 5:  # summary → values
+                j = 0
+                while j < len(chunk):
+                    k2, j = varint(chunk, j)
+                    ln2, j = varint(chunk, j)
+                    val = chunk[j:j + ln2]
+                    j += ln2
+                    tag, sv = None, None
+                    m = 0
+                    while m < len(val):
+                        k3, m = varint(val, m)
+                        f3, w3 = k3 >> 3, k3 & 7
+                        if w3 == 2:
+                            l3, m = varint(val, m)
+                            if f3 == 1:
+                                tag = val[m:m + l3].decode()
+                            m += l3
+                        elif w3 == 5:
+                            if f3 == 2:
+                                (sv,) = struct.unpack_from("<f", val, m)
+                            m += 4
+                        elif w3 == 0:
+                            _, m = varint(val, m)
+                        else:
+                            m += 8
+                    if tag is not None:
+                        out[tag] = sv
+    return out
+
+
+def test_tb_writer_roundtrip(tmp_path):
+    import numpy as np
+
+    from deepfake_vit_tpu.utils.tb_writer import SummaryWriter
+
+    with SummaryWriter(tmp_path / "tb") as w:
+        w.add_scalar("train/loss", 0.75, step=1)
+        w.add_scalars({"val/auc": 0.9, "val/acc": 0.8125}, step=2)
+        path = w.path
+
+    assert path.name.startswith("events.out.tfevents.")
+    records = _read_tfrecords(path)
+    assert len(records) == 3  # file-version event + 2 scalar events
+    s1 = _parse_scalars(records[1])
+    s2 = _parse_scalars(records[2])
+    np.testing.assert_allclose(s1["train/loss"], 0.75, rtol=1e-6)
+    np.testing.assert_allclose(s2["val/auc"], 0.9, rtol=1e-6)
+    np.testing.assert_allclose(s2["val/acc"], 0.8125, rtol=1e-6)
