@@ -60,17 +60,20 @@ def main():
 
     # --- end-to-end fused pipeline ---------------------------------------
     # Headline config: frames enter at the reference's 640² resolution
-    # (preprocessing_config.yaml:12-15 detects at 640²); the SCRFD forward
-    # runs on a pooled 320² canvas and alignment warps from the ORIGINAL
-    # 640² pixels via the windowed mip-pyramid warp — strictly higher crop
-    # fidelity than detecting-and-warping at 320², at detection cost of the
-    # 320² canvas (choice quantified by the detector-quality acceptance
-    # tests, tests/test_detector_trained.py).
+    # (preprocessing_config.yaml:12-15 detects at 640²) as uint8 (the
+    # serving wire format — 4× less H2D than f32); detection runs via the
+    # stem-folded SCRFD (the 2× pool rides the first conv), alignment warps
+    # from the ORIGINAL 640² pixels via the pool-fused windowed warp at the
+    # fidelity-first window 160, and the classifier runs the parity-gated
+    # int8 late-stage tail (tests/test_int8_tail.py). Detection quality at
+    # the 320² canvas is held by the trained-weights acceptance tests
+    # (tests/test_detector_trained.py).
     serving = (640, 640)
     det_size = (320, 320)
-    batch = 128
+    batch = 256
     pipe = FusedPipeline(model_config, detection_input_size=det_size,
-                         serving_size=serving, confidence_threshold=0.0)
+                         serving_size=serving, confidence_threshold=0.0,
+                         use_int8_tail=True)
     # Initialize on the host CPU backend (local, fast compile), then move to
     # the accelerator — compiles over the TPU tunnel cost minutes each.
     cpu = jax.devices("cpu")[0]
@@ -80,14 +83,14 @@ def main():
         det_vars, model_vars = pipe.load_variables(jax.random.PRNGKey(0))
     det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
     frames = jnp.asarray(
-        np.random.default_rng(0).uniform(0, 255, size=(batch, *serving, 3)),
-        jnp.float32,
+        np.random.default_rng(0).integers(0, 256, size=(batch, *serving, 3)),
+        jnp.uint8,
     )
 
     t = _time_fn(pipe.forward, det_vars, model_vars, frames, iters=10, warmup=2)
     e2e_fps = batch / t
     print(f"end-to-end: {e2e_fps:.1f} faces/s (batch {batch}, {t*1e3:.2f} ms/step, "
-          f"serving 640² / detect 320²)", file=sys.stderr)
+          f"serving 640² / detect 320² / int8 tail / window 160)", file=sys.stderr)
 
     if "--full" in sys.argv:
         import gc
@@ -95,15 +98,21 @@ def main():
         import numpy as _np
 
         # Secondary e2e configs (BASELINE.md history / reference-equivalence):
-        # (a) full 640² detection canvas — exactly the reference's detector
-        #     resolution end to end; (b) round-1's 320² serving canvas.
-        for name, srv, det in (
-            ("e2e 640² detect", (640, 640), (640, 640)),
-            ("e2e 640² serving / 160² detect (fast knob)", (640, 640), (160, 160)),
-            ("e2e 320² canvas (round-1 cfg)", (320, 320), (320, 320)),
+        # (a) the w128 warp window — full MXU tiles in the warp matmul, at a
+        #     measured crop-fidelity cost (BASELINE round-3 RMSE table);
+        # (b) full 640² detection canvas — exactly the reference's detector
+        #     resolution end to end; (c) round-1's 320² serving canvas.
+        for name, srv, det, kw in (
+            ("e2e w128 warp window (fast knob)", (640, 640), (320, 320),
+             dict(use_int8_tail=True, warp_window=128)),
+            ("e2e 640² detect", (640, 640), (640, 640), dict(use_int8_tail=True)),
+            ("e2e 640² serving / 160² detect (fast knob)", (640, 640), (160, 160),
+             dict(use_int8_tail=True)),
+            ("e2e 320² canvas (round-1 cfg)", (320, 320), (320, 320),
+             dict(use_int8_tail=True)),
         ):
             p2 = FusedPipeline(model_config, detection_input_size=det,
-                               serving_size=srv, confidence_threshold=0.0)
+                               serving_size=srv, confidence_threshold=0.0, **kw)
             fr2 = frames[:, :srv[0], :srv[1], :]
             t2 = _time_fn(p2.forward, det_vars, model_vars, fr2, iters=10, warmup=2)
             print(f"{name}: {fr2.shape[0] / t2:.1f} faces/s ({t2*1e3:.2f} ms/step)",
@@ -142,28 +151,33 @@ def main():
         print(f"classify-only: {64 / t_cls:.1f} faces/s ({t_cls*1e3:.2f} ms / batch 64)",
               file=sys.stderr)
 
-        # classify-only through the fused-stage Pallas backbone (the path
-        # the headline e2e uses; this isolates its classify speedup).
-        from deepfake_vit_tpu.models.fused_backbone import FusedBackboneRunner
+        # classify-only through the int8 late-stage tail (the serving path).
+        from deepfake_vit_tpu.models.efficientnet import EfficientNetBackbone, block_args
+        from deepfake_vit_tpu.models.int8_tail import Int8TailRunner, default_tail_start
 
-        def fused_fwd(v, i, l):
-            runner = FusedBackboneRunner(
-                model.variant,
-                v["params"]["feature_extractor"]["backbone"],
-                v["batch_stats"]["feature_extractor"]["backbone"],
-                image_size=224,
+        start = default_tail_start(model.variant)
+        backbone_cap = EfficientNetBackbone(
+            variant=model.variant, capture_indices=(start - 1,), dtype=jnp.bfloat16
+        )
+
+        def int8_fwd(v, i, l):
+            bbp = v["params"]["feature_extractor"]["backbone"]
+            bbs = v["batch_stats"]["feature_extractor"]["backbone"]
+            _, inter = backbone_cap.apply(
+                {"params": bbp, "batch_stats": bbs}, i, train=False,
+                return_maps=True, return_intermediate=True,
             )
-            x_tail = runner(i.astype(jnp.bfloat16))
+            x_tail = Int8TailRunner(model.variant, bbp, bbs)(inter[start - 1])
             return model.apply(v, x_tail, l, train=False,
-                               backbone_start_block=runner.tail_start)[0]
+                               backbone_start_block=len(block_args(model.variant)))[0]
 
         try:
-            fwd_fused = jax.jit(fused_fwd)
-            t_clf = _time_fn(fwd_fused, variables_dev, imgs, lms, iters=10, warmup=2)
-            print(f"classify-only (fused stages): {64 / t_clf:.1f} faces/s "
+            fwd_int8 = jax.jit(int8_fwd)
+            t_clf = _time_fn(fwd_int8, variables_dev, imgs, lms, iters=10, warmup=2)
+            print(f"classify-only (int8 tail): {64 / t_clf:.1f} faces/s "
                   f"({t_clf*1e3:.2f} ms / batch 64)", file=sys.stderr)
         except Exception as e:  # secondary metric only — never kill the bench
-            print(f"classify-only (fused stages): failed ({type(e).__name__})",
+            print(f"classify-only (int8 tail): failed ({type(e).__name__})",
                   file=sys.stderr)
 
         # training step (BASELINE config 3: CombinedLoss fwd+bwd+AdamW)

@@ -36,8 +36,8 @@ from jax.experimental.pallas import tpu as pltpu
 from ..umeyama import invert_affine
 
 
-def _warp_kernel(coef_ref, imgT_ref, out_ref, *, R: int, Ho: int, Wo: int,
-                 Hs: int, Ws: int, C: int):
+def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
+                 R: int, Ho: int, Wo: int, Hs: int, Ws: int, C: int):
     k = pl.program_id(1)
     a = coef_ref[0, 0, 0]
     b = coef_ref[0, 0, 1]
@@ -54,23 +54,38 @@ def _warp_kernel(coef_ref, imgT_ref, out_ref, *, R: int, Ho: int, Wo: int,
     sx = a * j + b * i + c  # (1, n) source x per output pixel
     sy = d * j + e * i + f  # (1, n) source y
 
+    # Tap-weight construction dominates this kernel (probe: 8.2 of 12.9 ms
+    # at B=128 — VPU passes over two (window, n) planes per cell), so the
+    # row/column index planes arrive as CONSTANT bf16 inputs (integers
+    # ≤ window are bf16-exact; the f32 subtraction promotes) instead of two
+    # per-cell iota+cast passes.
+
     # Vertical taps: V_T (Hs, n); tri-weight ⇒ BORDER_CONSTANT=0.
-    t_iota = jax.lax.broadcasted_iota(jnp.int32, (Hs, n), 0).astype(jnp.float32)
-    V = jnp.maximum(0.0, 1.0 - jnp.abs(sy - t_iota)).astype(jnp.bfloat16)
+    # (An early-bf16 variant of this chain measured the same — the VPU runs
+    # bf16 elementwise at f32 rate here; construction cost is pass count.)
+    V = jnp.maximum(0.0, 1.0 - jnp.abs(sy - tconst_ref[...])).astype(jnp.bfloat16)
 
-    # Horizontal taps: H_T (Ws, n), bf16 to halve VPU/VMEM traffic of the
-    # elementwise pass (≤1/255 extra error on uint8-range pixels).
-    s_iota = jax.lax.broadcasted_iota(jnp.int32, (Ws, n), 0).astype(jnp.float32)
-    H = jnp.maximum(0.0, 1.0 - jnp.abs(sx - s_iota)).astype(jnp.bfloat16)
+    # Horizontal taps: H_T (Ws, n), bf16 to halve the matmul-side traffic.
+    H = jnp.maximum(0.0, 1.0 - jnp.abs(sx - sconst_ref[...])).astype(jnp.bfloat16)
 
+    # ONE channel-stacked matmul: (C·Ws, Hs) @ (Hs, n). M = C·Ws fills the
+    # MXU's 128-row passes (~94% M-utilization at C=3, Ws=160) where the
+    # per-channel M=160 variant wasted 38% of every pass on tile padding.
+    imgT = imgT_ref[0].reshape(C * Ws, Hs)
+    P = jax.lax.dot_general(
+        imgT, V,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(jnp.bfloat16)  # (C·Ws, n)
+    ones = jnp.ones((1, Ws), jnp.bfloat16)
     for ch in range(C):
-        imgT = imgT_ref[0, ch]  # (Ws, Hs) bf16, x-major
-        P = jax.lax.dot_general(
-            imgT, V,
+        # Σ_s as an MXU row-sum (bf16 products, f32 accumulation) — a VPU
+        # sublane reduce would materialize an (Ws, n) f32 upcast per channel.
+        out_ref[0, 0, ch, :] = jax.lax.dot_general(
+            ones, P[ch * Ws:(ch + 1) * Ws] * H,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        ).astype(jnp.bfloat16)  # (Ws, n)
-        out_ref[0, 0, ch, :] = jnp.sum((P * H).astype(jnp.float32), axis=0)
+        )[0]
 
 
 @partial(jax.jit, static_argnames=("out_size", "inverse", "row_chunk"))
@@ -79,7 +94,7 @@ def warp_affine_pallas(
     matrices: jnp.ndarray,
     out_size: Tuple[int, int],
     inverse: bool = False,
-    row_chunk: int = 16,
+    row_chunk: int = 32,
 ) -> jnp.ndarray:
     """Batched cv2.warpAffine equivalent (bilinear, border 0) as a TPU kernel.
 
@@ -113,12 +128,23 @@ def warp_affine_pallas(
 
     kernel = partial(_warp_kernel, R=R, Ho=Ho, Wo=Wo, Hs=Hs, Ws=Ws, C=C)
     imgT = jnp.transpose(images.astype(jnp.bfloat16), (0, 3, 2, 1))  # (B,C,Ws,Hs)
+    n = R * Wo
+    tconst = jnp.broadcast_to(
+        jnp.arange(Hs, dtype=jnp.bfloat16)[:, None], (Hs, n)
+    )
+    sconst = jnp.broadcast_to(
+        jnp.arange(Ws, dtype=jnp.bfloat16)[:, None], (Ws, n)
+    )
     out = pl.pallas_call(
         kernel,
         in_specs=[
             pl.BlockSpec((1, 1, 8), lambda bi, ki: (bi, 0, 0),
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C, Ws, Hs), lambda bi, ki: (bi, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Hs, n), lambda bi, ki: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((Ws, n), lambda bi, ki: (0, 0),
                          memory_space=pltpu.VMEM),
         ],
         cost_estimate=pl.CostEstimate(
@@ -127,7 +153,7 @@ def warp_affine_pallas(
             transcendentals=0,
         ),
         **common,
-    )(coeffs, imgT)
+    )(coeffs, imgT, tconst, sconst)
 
     # (B, n_chunks, C, R·Wo) → (B, Ho, Wo, C)
     out = out.reshape(B, n_chunks, C, R, Wo)
@@ -223,6 +249,13 @@ def crop_window_pool_pallas(
     leave HBM).
     """
     B, H, WC = frames_flat.shape
+    # HBM DMA slices need a 128-multiple lane width; pad when W·C isn't
+    # (e.g. 320·3 = 960). Padded lanes decode to source x ≥ the frame width
+    # at every level, so the horizontal selection matrix never picks them.
+    WCp = -(-WC // 128) * 128
+    if WCp != WC:
+        frames_flat = jnp.pad(frames_flat, ((0, 0), (0, 0), (0, WCp - WC)))
+        WC = WCp
     if frame_idx is None:
         frame_idx = jnp.arange(y0_l0.shape[0], dtype=jnp.int32)
     N = y0_l0.shape[0]

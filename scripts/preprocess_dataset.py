@@ -116,12 +116,37 @@ def process_dataset(
     max_images: Optional[int] = None,
     logger=None,
     visualize_dir: Optional[Path] = None,
+    save_workers: int = 8,
 ) -> List[Dict]:
+    from concurrent.futures import ThreadPoolExecutor
+
     log = logger.info if logger else print
     rows: List[Dict] = []
     buf: List[Tuple[np.ndarray, str, str]] = []
     count = 0
     t0 = time.perf_counter()
+    # Saves (PNG encode + npy + json per face) ran serially per item in
+    # round 2 and dominated CLI wall time; cv2.imwrite releases the GIL, so
+    # a thread pool overlaps the whole batch's encodes with the next
+    # batch's device compute.
+    save_pool = ThreadPoolExecutor(max_workers=max(1, save_workers))
+
+    def _save(out):
+        try:
+            return dict(
+                image_id=out.image_id, dataset=out.dataset, label=out.label,
+                processed=True, reason="",
+                quality_score=float(out.quality_score),
+                confidence=float(out.confidence),
+                **pipeline.save_output(out, output_dir),
+            )
+        except Exception as e:
+            return dict(
+                image_id=out.image_id, dataset=out.dataset, label=out.label,
+                processed=False, reason=f"save_error: {e}",
+                face_path="", landmark_path="", metadata_path="",
+                quality_score=0.0, confidence=0.0,
+            )
 
     def flush():
         nonlocal rows
@@ -144,6 +169,7 @@ def process_dataset(
                 )
             buf.clear()
             return
+        futures = []
         for out in outputs:
             if out.success:
                 if visualize_dir is not None and len(rows) < 16:
@@ -155,27 +181,7 @@ def process_dataset(
                             img, out,
                             save_path=visualize_dir / f"{out.dataset}_{out.label}_{out.image_id}.png",
                         )
-                try:
-                    paths = pipeline.save_output(out, output_dir)
-                    rows.append(
-                        dict(
-                            image_id=out.image_id,
-                            dataset=out.dataset,
-                            label=out.label,
-                            processed=True,
-                            reason="",
-                            quality_score=float(out.quality_score),
-                            confidence=float(out.confidence),
-                            **paths,
-                        )
-                    )
-                except Exception as e:
-                    rows.append(
-                        dict(image_id=out.image_id, dataset=out.dataset, label=out.label,
-                             processed=False, reason=f"save_error: {e}",
-                             face_path="", landmark_path="", metadata_path="",
-                             quality_score=0.0, confidence=0.0)
-                    )
+                futures.append(save_pool.submit(_save, out))
             else:
                 rows.append(
                     dict(image_id=out.image_id, dataset=out.dataset, label=out.label,
@@ -183,6 +189,7 @@ def process_dataset(
                          face_path="", landmark_path="", metadata_path="",
                          quality_score=0.0, confidence=0.0)
                 )
+        rows.extend(f.result() for f in futures)
         buf.clear()
 
     for image, image_id, label in items:
@@ -196,6 +203,7 @@ def process_dataset(
                 rate = count / (time.perf_counter() - t0)
                 log(f"{dataset_name}: {count} items ({rate:.1f} img/s)")
     flush()
+    save_pool.shutdown(wait=True)
 
     ok = sum(1 for r in rows if r["processed"])
     log(f"{dataset_name}: {ok}/{len(rows)} processed successfully")
@@ -212,6 +220,8 @@ def main():
         choices=["lfw_fer", "deeper_forensics", "gen_ai", "all"],
     )
     parser.add_argument("--max-images", type=int, default=None)
+    parser.add_argument("--save-workers", type=int, default=8,
+                        help="threads for the per-face PNG/NPY/JSON save path")
     parser.add_argument("--batch-size", type=int, default=None)
     parser.add_argument("--visualize", action="store_true", help="save pipeline visualizations")
     args = parser.parse_args()
@@ -257,7 +267,7 @@ def main():
             process_dataset(
                 pipeline, items, name, output_dir,
                 batch_size=batch_size, max_images=args.max_images, logger=logger,
-                visualize_dir=visualize_dir,
+                visualize_dir=visualize_dir, save_workers=args.save_workers,
             )
         )
 

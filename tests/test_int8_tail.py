@@ -9,6 +9,7 @@ forward — the VERDICT round-2 acceptance bar for shipping int8 serving.
 import jax
 import jax.numpy as jnp
 import numpy as np
+import pytest
 
 from deepfake_vit_tpu.models import DeepfakeDetectionModel
 from deepfake_vit_tpu.models.efficientnet import EfficientNetBackbone, block_args
@@ -63,6 +64,37 @@ def test_int8_tail_prob_parity():
 
     delta = np.abs(np.asarray(probs_q) - np.asarray(probs_ref))
     assert delta.max() < 0.03, f"int8 prob delta {delta.max():.4f}"
+
+
+@pytest.mark.slow
+def test_int8_tail_prob_parity_b4():
+    """Same parity gate on the flagship b4 (the serving configuration)."""
+    model, variables, imgs, lms = _build("b4")
+    variant = model.variant
+    start = default_tail_start(variant)
+    n_blocks = len(block_args(variant))
+    assert start == 16 and n_blocks == 32  # blocks 16-31, the VERDICT split
+
+    logits_ref, _ = model.apply(variables, imgs, lms, train=False, return_features=True)
+    probs_ref = jax.nn.softmax(logits_ref, axis=-1)
+
+    bb_params = variables["params"]["feature_extractor"]["backbone"]
+    bb_stats = variables["batch_stats"]["feature_extractor"]["backbone"]
+    backbone = EfficientNetBackbone(
+        variant=variant, capture_indices=(start - 1,), dtype=jnp.bfloat16
+    )
+    _, inter = backbone.apply(
+        {"params": bb_params, "batch_stats": bb_stats},
+        imgs, train=False, return_maps=True, return_intermediate=True,
+    )
+    x_tail = Int8TailRunner(variant, bb_params, bb_stats)(inter[start - 1])
+    logits_q, _ = model.apply(
+        variables, x_tail, lms, train=False, return_features=True,
+        backbone_start_block=n_blocks,
+    )
+    probs_q = jax.nn.softmax(logits_q, axis=-1)
+    delta = np.abs(np.asarray(probs_q) - np.asarray(probs_ref))
+    assert delta.max() < 0.03, f"int8 b4 prob delta {delta.max():.4f}"
 
 
 def test_int8_tail_bf16_block_equivalence():
