@@ -36,6 +36,21 @@ from jax.experimental.pallas import tpu as pltpu
 from ..umeyama import invert_affine
 
 
+def _auto_row_chunk(Hs: int, Ws: int, Wo: int, C: int,
+                    budget_units: int = 2_500_000) -> int:
+    """Largest output-row chunk whose per-cell tap planes fit the 16 MB
+    scoped-VMEM stack. The dominant allocations scale with (Hs + Ws)·R·Wo
+    (the V/H construction chains); the budget is CALIBRATED to the
+    measured boundary on v5e: (160+160)·32·224 ≈ 2.3M units compiles and
+    runs, (320+320)·32·224 ≈ 4.6M OOMs (the round-3 preprocess
+    regression this function guards against), (320+320)·16·224 ≈ 2.3M is
+    the long-standing round-2 production point."""
+    for R in (32, 16, 8, 4, 2, 1):
+        if (Hs + Ws) * R * Wo <= budget_units:
+            return R
+    return 1
+
+
 def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
                  R: int, Ho: int, Wo: int, Hs: int, Ws: int, C: int):
     k = pl.program_id(1)
@@ -94,7 +109,7 @@ def warp_affine_pallas(
     matrices: jnp.ndarray,
     out_size: Tuple[int, int],
     inverse: bool = False,
-    row_chunk: int = 32,
+    row_chunk: int = None,
 ) -> jnp.ndarray:
     """Batched cv2.warpAffine equivalent (bilinear, border 0) as a TPU kernel.
 
@@ -109,6 +124,11 @@ def warp_affine_pallas(
     """
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_size
+    if row_chunk is None:
+        # The V/H tap planes scale with (source size × R·Wo); big chunks
+        # amortize per-cell overheads for window-sized crops but blow the
+        # 16 MB scoped-VMEM stack for full-frame sources.
+        row_chunk = _auto_row_chunk(Hs, Ws, Wo, C)
     R = row_chunk
     while Ho % R != 0:
         R //= 2

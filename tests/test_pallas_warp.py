@@ -78,3 +78,15 @@ def test_crop_window_pool_pallas_matches_xla(rng):
             )[0]
             atol = 1e-4 if dtype == jnp.float32 else 1.5
             np.testing.assert_allclose(out[b], np.asarray(ref), atol=atol)
+
+
+def test_auto_row_chunk_vmem_budget():
+    """Chunk auto-selection: 32 for window-sized crops, smaller for
+    full-frame sources (the 320² preprocess path OOM'd the 16 MB scoped
+    VMEM at R=32 — round-3 regression)."""
+    from deepfake_vit_tpu.ops.pallas.warp_kernel import _auto_row_chunk
+
+    assert _auto_row_chunk(160, 160, 224, 3) == 32
+    assert _auto_row_chunk(128, 128, 224, 3) == 32
+    assert _auto_row_chunk(320, 320, 224, 3) <= 16
+    assert _auto_row_chunk(640, 640, 224, 3) <= 8
