@@ -52,6 +52,7 @@ class FusedPipeline:
         dtype=jnp.bfloat16,
         use_fused_backbone: bool = False,
         use_int8_tail: bool = False,
+        use_s2d_early: bool = False,
         keep_top_k: int = 1,
         nms_threshold: float = 0.4,
     ):
@@ -82,6 +83,10 @@ class FusedPipeline:
         # Int8 late-stage tail (models/int8_tail.py): s8×s8→s32 MXU matmuls
         # for the late-block 1×1 convs, parity-gated in tests/test_int8_tail.
         self.use_int8_tail = use_int8_tail
+        # S2d-4 early stages (models/s2d_early.py): the 112² stem/stage-1/2
+        # portion on compact phase-blocked tensors; parity-gated in
+        # tests/test_s2d_early.py. Composes with the int8 tail.
+        self.use_s2d_early = use_s2d_early
         self.keep_top_k = int(keep_top_k)
         self.nms_threshold = float(nms_threshold)
         ratio = self.serving_size[0] // self.input_size[0]
@@ -314,26 +319,35 @@ class FusedPipeline:
                 model_vars, x_tail, aligned_lms, train=False,
                 return_features=True, backbone_start_block=runner.tail_start,
             )
-        elif self.use_int8_tail:
+        elif self.use_int8_tail or self.use_s2d_early:
             from .models.efficientnet import EfficientNetBackbone, block_args
             from .models.int8_tail import Int8TailRunner, default_tail_start
 
             bbp = model_vars["params"]["feature_extractor"]["backbone"]
             bbs = model_vars["batch_stats"]["feature_extractor"]["backbone"]
-            start = default_tail_start(self.model.variant)
-            backbone = EfficientNetBackbone(
-                variant=self.model.variant, capture_indices=(start - 1,),
-                dtype=jnp.bfloat16,
-            )
-            _, inter = backbone.apply(
-                {"params": bbp, "batch_stats": bbs}, norm, train=False,
-                return_maps=True, return_intermediate=True,
-            )
-            x_tail = Int8TailRunner(self.model.variant, bbp, bbs)(inter[start - 1])
+            x, start_block = norm, 0
+            if self.use_s2d_early:
+                from .models.s2d_early import S2DEarlyRunner
+
+                s2d = S2DEarlyRunner(self.model.variant, bbp, bbs,
+                                     image_size=self.output_size[0])
+                x, start_block = s2d(x), s2d.resume_block
+            if self.use_int8_tail:
+                start = default_tail_start(self.model.variant)
+                backbone = EfficientNetBackbone(
+                    variant=self.model.variant, capture_indices=(start - 1,),
+                    dtype=jnp.bfloat16,
+                )
+                _, inter = backbone.apply(
+                    {"params": bbp, "batch_stats": bbs}, x, train=False,
+                    return_maps=True, return_intermediate=True,
+                    start_block=start_block,
+                )
+                x = Int8TailRunner(self.model.variant, bbp, bbs)(inter[start - 1])
+                start_block = len(block_args(self.model.variant))
             logits, features = self.model.apply(
-                model_vars, x_tail, aligned_lms, train=False,
-                return_features=True,
-                backbone_start_block=len(block_args(self.model.variant)),
+                model_vars, x, aligned_lms, train=False,
+                return_features=True, backbone_start_block=start_block,
             )
         else:
             logits, features = self.model.apply(
