@@ -25,6 +25,16 @@ Capability parity: the reference runs its backbone under cuDNN inference
 kernels that space-to-depth/pad small-channel stages internally
 (`/root/reference/src/feature_extraction/efficientnet.py:122-151`); this
 is the TPU-native equivalent of that platform optimization.
+
+MEASURED OUT on this platform (round 3, v5e behind the axon tunnel):
+the s2d+int8 e2e serving graph runs 92.8 ms @ b256 vs 75.1 ms for the
+plain int8 graph in the same process (49.2 vs 37.8 ms @ b128) — the
+grouped 4-phase k3 convs (feature_group_count = C) lower to a SLOWER
+schedule than the lane-padded-but-fused plain depthwise stages they
+replace, same failure mode as the fused-stage kernel family
+(ops/pallas/fused_stages.py): XLA's fused small-stage pipeline is hard
+to beat here. Stays available behind ``FusedPipeline(use_s2d_early=True)``
+with full parity tests; off by default.
 """
 
 from __future__ import annotations
