@@ -52,6 +52,15 @@ class FaceAligner:
         self.method = method
         self.border_value = border_value
         self._align_jit = jax.jit(self._align_graph)
+        # uint8-output variant: clip + truncate on DEVICE so the aligned
+        # faces come home over the (slow) link at 1 byte/px instead of 4.
+        # float->uint8 conversion truncates toward zero in both XLA and
+        # numpy, so this matches np.clip(x, 0, 255).astype(np.uint8).
+        self._align_jit_u8 = jax.jit(
+            lambda im, lm: (lambda a, al, tf: (
+                jnp.clip(a, 0.0, 255.0).astype(jnp.uint8), al, tf
+            ))(*self._align_graph(im, lm))
+        )
 
     # -- jitted core -------------------------------------------------------
     def _estimate(self, landmarks: jnp.ndarray) -> jnp.ndarray:
@@ -63,7 +72,8 @@ class FaceAligner:
         )
 
     def _align_graph(self, images: jnp.ndarray, landmarks: jnp.ndarray):
-        """images (B, H, W, 3) float; landmarks (B, 5, 2) source pixels."""
+        """images (B, H, W, 3) uint8/float; landmarks (B, 5, 2) source pixels."""
+        images = images.astype(jnp.float32)
         tform = self._estimate(landmarks)
         if self.border_value == 0.0:
             aligned = warp_affine_auto(images, tform, self.output_size)
@@ -85,11 +95,18 @@ class FaceAligner:
         return np.asarray(aligned[0]), np.asarray(tform[0])
 
     def align_batch(
-        self, images: np.ndarray, landmarks: np.ndarray
+        self, images: np.ndarray, landmarks: np.ndarray, out_uint8: bool = False
     ) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-        """Batched align: (B,H,W,3), (B,5,2) → aligned, aligned_lms, tforms."""
-        aligned, alms, tforms = self._align_jit(
-            jnp.asarray(images, jnp.float32), jnp.asarray(landmarks, jnp.float32)
+        """Batched align: (B,H,W,3), (B,5,2) → aligned, aligned_lms, tforms.
+
+        ``images`` may be a host array (uint8 or float — uint8 rides the
+        host→device link 4× lighter; the f32 cast happens on device) or an
+        array already on device (no transfer). ``out_uint8`` clips/casts the
+        aligned faces to uint8 ON DEVICE before the device→host pull.
+        """
+        fn = self._align_jit_u8 if out_uint8 else self._align_jit
+        aligned, alms, tforms = fn(
+            jnp.asarray(images), jnp.asarray(landmarks, jnp.float32)
         )
         return np.asarray(aligned), np.asarray(alms), np.asarray(tforms)
 

@@ -95,8 +95,8 @@ class FaceDetector:
 
     # -- jitted core ------------------------------------------------------
     def _detect_graph(self, variables, images: jnp.ndarray):
-        """images: (B, H, W, 3) float32 raw RGB [0,255]. Returns padded dets."""
-        x = (images - 127.5) / 128.0
+        """images: (B, H, W, 3) uint8/float raw RGB [0,255]. Returns padded dets."""
+        x = (images.astype(jnp.float32) - 127.5) / 128.0
         outs = self.model.apply(variables, x, train=False)
         scores = jnp.concatenate([jax.nn.sigmoid(outs[s]["scores"]) for s in STRIDES], axis=1)
         dist = jnp.concatenate([outs[s]["bbox"] for s in STRIDES], axis=1)
@@ -125,7 +125,11 @@ class FaceDetector:
 
     # -- host API ----------------------------------------------------------
     def _prepare(self, image: np.ndarray) -> Tuple[np.ndarray, float]:
-        """Aspect-preserving resize into the static input canvas."""
+        """Aspect-preserving resize into the static input canvas.
+
+        uint8 inputs stay uint8 (4x less H2D over a slow link; the f32 cast
+        happens on device inside ``_detect_graph``); float inputs keep f32.
+        """
         import cv2
 
         H, W = self.input_size
@@ -133,13 +137,17 @@ class FaceDetector:
         scale = min(W / w, H / h)
         nw, nh = int(round(w * scale)), int(round(h * scale))
         resized = cv2.resize(image, (nw, nh), interpolation=cv2.INTER_LINEAR)
-        canvas = np.zeros((H, W, 3), dtype=np.float32)
+        dtype = np.uint8 if image.dtype == np.uint8 else np.float32
+        canvas = np.zeros((H, W, 3), dtype=dtype)
         canvas[:nh, :nw] = resized
         return canvas, scale
 
     def detect_batch_raw(self, images: np.ndarray) -> Dict[str, np.ndarray]:
         """Batched detection on pre-sized (B, H, W, 3) RGB uint8/float arrays."""
-        out = self._detect_jit(self.variables, jnp.asarray(images, jnp.float32))
+        images = jnp.asarray(images)
+        if images.dtype != jnp.uint8:
+            images = images.astype(jnp.float32)
+        out = self._detect_jit(self.variables, images)
         return jax.device_get(out)
 
     def detect(self, image: np.ndarray) -> Optional[Dict[str, Any]]:
@@ -150,6 +158,23 @@ class FaceDetector:
     def batch_detect(self, images: List[np.ndarray]) -> List[Optional[Dict[str, Any]]]:
         canvases, scales = zip(*(self._prepare(img) for img in images))
         out = self.detect_batch_raw(np.stack(canvases))
+        return self._postprocess(out, scales)
+
+    def batch_detect_device(self, images_dev) -> List[Optional[Dict[str, Any]]]:
+        """Detection on an already-on-device (B, H, W, 3) buffer whose
+        spatial shape equals ``input_size`` (no letterbox, scale = 1) —
+        lets callers share ONE host→device frame transfer between
+        detection and the downstream quality/align stages."""
+        if tuple(images_dev.shape[1:3]) != self.input_size:
+            raise ValueError(
+                f"device batch {images_dev.shape[1:3]} != input_size {self.input_size}"
+            )
+        out = self.detect_batch_raw(images_dev)
+        return self._postprocess(out, (1.0,) * images_dev.shape[0])
+
+    def _postprocess(
+        self, out: Dict[str, np.ndarray], scales
+    ) -> List[Optional[Dict[str, Any]]]:
         results: List[Optional[Dict[str, Any]]] = []
         for b, scale in enumerate(scales):
             valid = out["valid"][b]

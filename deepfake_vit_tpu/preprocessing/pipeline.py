@@ -22,6 +22,7 @@ from dataclasses import dataclass, field
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Sequence
 
+import jax
 import numpy as np
 
 from .aligner import FaceAligner, NormalizationProcessor
@@ -106,7 +107,18 @@ class PreprocessingPipeline:
         datasets = datasets or [None] * n
         labels = labels or [None] * n
 
-        detections = self.detector.batch_detect(list(images))
+        # Uniform corpora whose frames already match the detection canvas
+        # (e.g. a 320² corpus with a 320² canvas) share ONE host→device
+        # frame transfer across detect + quality + align; otherwise each
+        # frame is letterboxed on host and detection uploads its own
+        # canvases (quality/align still upload once per shape group).
+        H, W = self.detector.input_size
+        frames_dev = None
+        if all(np.asarray(im).shape == (H, W, 3) for im in images):
+            frames_dev = jax.device_put(np.stack([np.asarray(im) for im in images]))
+            detections = self.detector.batch_detect_device(frames_dev)
+        else:
+            detections = self.detector.batch_detect(list(images))
 
         outputs: List[PreprocessingOutput] = []
         det_idx: List[int] = []
@@ -135,7 +147,20 @@ class PreprocessingPipeline:
             for i in det_idx:
                 by_shape.setdefault(np.asarray(images[i]).shape, []).append(i)
             for shape, idxs in by_shape.items():
-                imgs = np.stack([np.asarray(images[i], np.float32) for i in idxs])
+                # ONE host→device transfer per shape group, in the source
+                # dtype (uint8 corpora ride the link at 1 byte/px — over the
+                # dev tunnel at ~35 MB/s the f32 triple-upload this replaces
+                # was ~7 s per 64-batch of 320² frames). Quality and align
+                # both read the same device buffer; the f32 casts happen on
+                # device inside their jitted graphs.
+                if frames_dev is not None:
+                    # Device-side row gather from the buffer detection
+                    # already uploaded — no second transfer.
+                    imgs = frames_dev[np.asarray(idxs)]
+                else:
+                    imgs = jax.device_put(
+                        np.stack([np.asarray(images[i]) for i in idxs])
+                    )
                 lms = np.stack([outputs[i].original_landmarks for i in idxs])
                 if self.quality_checker.enabled:
                     qs = self.quality_checker.check_quality_batch(
@@ -154,8 +179,11 @@ class PreprocessingPipeline:
                             "is_valid": True, "overall_score": 1.0,
                             "scores": {}, "reasons": [],
                         }
-                aligned, aligned_lms, tforms = self.aligner.align_batch(imgs, lms)
-                aligned = np.clip(aligned, 0, 255).astype(np.uint8)
+                # uint8 comes back from the device directly (clip + truncate
+                # in the jitted graph) — a 4× lighter device→host pull.
+                aligned, aligned_lms, tforms = self.aligner.align_batch(
+                    imgs, lms, out_uint8=True
+                )
                 for k, i in enumerate(idxs):
                     outputs[i].aligned_face = aligned[k]
                     outputs[i].landmarks = aligned_lms[k]

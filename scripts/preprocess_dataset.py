@@ -248,6 +248,15 @@ def main():
     output_dir = Path(config.get("output", {}).get("base_dir", "data/processed"))
     output_dir.mkdir(parents=True, exist_ok=True)
 
+    # The tunnel's FIRST uint8 host→device transfer in a process runs far
+    # slower than steady state (fixed stall — BASELINE.md round-3); absorb
+    # it on 64 bytes here instead of on the first real frame batch.
+    # jnp.zeros would NOT warm it (device-side creation).
+    import jax
+    import numpy as np
+
+    jax.device_get(jax.device_put(np.zeros((8, 8), np.uint8)))
+
     batch_size = args.batch_size or config.get("pipeline", {}).get("batch_size", 16)
     names = list(DATASET_LOADERS) if args.datasets == "all" else [args.datasets]
 
