@@ -83,6 +83,69 @@ class PreprocessingPipeline:
         self.save_format = pipe_cfg.get("save_format", "png")
         self.jpg_quality = int(pipe_cfg.get("jpg_quality", 95))
         self._stats: List[PreprocessingOutput] = []
+        self._fused_jit = None
+
+    # ------------------------------------------------------------------
+    def _get_fused(self):
+        """ONE jitted detect→(best-face select)→quality→align graph.
+
+        The modular path costs a device dispatch + host sync per stage —
+        three round trips per batch, which on a high-latency link (the dev
+        tunnel's ~0.3 s RTT) dominates the actual compute. This graph is
+        the whole per-batch device work in ONE dispatch with ONE host
+        pull, for the uniform-corpus case where the frames already match
+        the detection canvas (scale = 1, no letterbox). Numerics are
+        identical to the modular stages — it calls the same stage
+        functions under one trace.
+        """
+        if self._fused_jit is not None:
+            return self._fused_jit
+        import jax.numpy as jnp
+
+        from ..ops.quality import overall_quality
+
+        detector = self.detector
+        aligner = self.aligner
+        thresholds = (
+            dict(self.quality_checker.thresholds)
+            if self.quality_checker.enabled else None
+        )
+
+        def graph(det_vars, frames):
+            out = detector._detect_graph(det_vars, frames)
+            # Best face per frame: argmax score among valid — the same
+            # top-1 the host-side argsort picks (first max wins ties).
+            masked = jnp.where(out["valid"], out["scores"], -jnp.inf)
+            best = jnp.argmax(masked, axis=1)
+
+            def take(a):
+                idx = best.reshape((-1,) + (1,) * (a.ndim - 1))
+                return jnp.take_along_axis(a, idx, axis=1)[:, 0]
+
+            bbox = take(out["boxes"])
+            lms = take(out["landmarks"])
+            conf = take(out["scores"])
+            num_faces = out["valid"].sum(axis=1)
+            aligned, aligned_lms, tforms = aligner._align_graph(frames, lms)
+            res = {
+                "bbox": bbox, "landmarks": lms, "confidence": conf,
+                "num_faces": num_faces,
+                "aligned": jnp.clip(aligned, 0.0, 255.0).astype(jnp.uint8),
+                "aligned_lms": aligned_lms, "tforms": tforms,
+            }
+            if thresholds is not None:
+                overall, _, raw = overall_quality(
+                    frames.astype(jnp.float32), lms, bbox, conf, thresholds
+                )
+                res["q_overall"] = overall
+                res["q_raw"] = {k: raw[k] for k in (
+                    "face_size", "blur", "brightness", "contrast",
+                    "occlusion", "detection_confidence",
+                )}
+            return res
+
+        self._fused_jit = jax.jit(graph)
+        return self._fused_jit
 
     # ------------------------------------------------------------------
     def process_image(
@@ -108,17 +171,15 @@ class PreprocessingPipeline:
         labels = labels or [None] * n
 
         # Uniform corpora whose frames already match the detection canvas
-        # (e.g. a 320² corpus with a 320² canvas) share ONE host→device
-        # frame transfer across detect + quality + align; otherwise each
-        # frame is letterboxed on host and detection uploads its own
-        # canvases (quality/align still upload once per shape group).
+        # (e.g. a 320² corpus with a 320² canvas) run the whole batch as
+        # ONE fused device program — one uint8 upload, one dispatch, one
+        # host pull (see _get_fused). Mixed-shape batches fall back to the
+        # modular per-stage path below (detection letterboxes per frame;
+        # quality/align still upload once per shape group).
         H, W = self.detector.input_size
-        frames_dev = None
-        if all(np.asarray(im).shape == (H, W, 3) for im in images):
-            frames_dev = jax.device_put(np.stack([np.asarray(im) for im in images]))
-            detections = self.detector.batch_detect_device(frames_dev)
-        else:
-            detections = self.detector.batch_detect(list(images))
+        if n and all(np.asarray(im).shape == (H, W, 3) for im in images):
+            return self._process_batch_fused(images, image_ids, datasets, labels)
+        detections = self.detector.batch_detect(list(images))
 
         outputs: List[PreprocessingOutput] = []
         det_idx: List[int] = []
@@ -153,14 +214,9 @@ class PreprocessingPipeline:
                 # was ~7 s per 64-batch of 320² frames). Quality and align
                 # both read the same device buffer; the f32 casts happen on
                 # device inside their jitted graphs.
-                if frames_dev is not None:
-                    # Device-side row gather from the buffer detection
-                    # already uploaded — no second transfer.
-                    imgs = frames_dev[np.asarray(idxs)]
-                else:
-                    imgs = jax.device_put(
-                        np.stack([np.asarray(images[i]) for i in idxs])
-                    )
+                imgs = jax.device_put(
+                    np.stack([np.asarray(images[i]) for i in idxs])
+                )
                 lms = np.stack([outputs[i].original_landmarks for i in idxs])
                 if self.quality_checker.enabled:
                     qs = self.quality_checker.check_quality_batch(
@@ -189,6 +245,58 @@ class PreprocessingPipeline:
                     outputs[i].landmarks = aligned_lms[k]
                     outputs[i].tform = tforms[k]
                     outputs[i].success = True
+
+        self._stats.extend(outputs)
+        return outputs
+
+    def _process_batch_fused(
+        self,
+        images: Sequence[np.ndarray],
+        image_ids: Sequence[Optional[str]],
+        datasets: Sequence[Optional[str]],
+        labels: Sequence[Optional[str]],
+    ) -> List[PreprocessingOutput]:
+        """Uniform-shape batch through the one-dispatch fused graph."""
+        frames = np.stack([np.asarray(im) for im in images])
+        res = jax.device_get(
+            self._get_fused()(self.detector.variables, jax.device_put(frames))
+        )
+
+        qc = self.quality_checker
+        outputs: List[PreprocessingOutput] = []
+        for i in range(len(images)):
+            out = PreprocessingOutput(
+                image_id=image_ids[i], dataset=datasets[i], label=labels[i]
+            )
+            if int(res["num_faces"][i]) == 0:
+                out.success = False
+                out.failure_reason = "no_face_detected"
+                outputs.append(out)
+                continue
+            out.bbox = res["bbox"][i].astype(np.float32)
+            out.original_landmarks = res["landmarks"][i].astype(np.float32)
+            out.confidence = float(res["confidence"][i])
+            if qc.enabled:
+                scores = {k: float(res["q_raw"][k][i]) for k in res["q_raw"]}
+                reasons = qc._reasons(scores)
+                out.quality_score = float(res["q_overall"][i])
+                out.quality_details = {
+                    "is_valid": not reasons,
+                    "overall_score": out.quality_score,
+                    "scores": scores,
+                    "reasons": reasons,
+                }
+            else:
+                out.quality_score = 1.0
+                out.quality_details = {
+                    "is_valid": True, "overall_score": 1.0,
+                    "scores": {}, "reasons": [],
+                }
+            out.aligned_face = res["aligned"][i]
+            out.landmarks = res["aligned_lms"][i]
+            out.tform = res["tforms"][i]
+            out.success = True
+            outputs.append(out)
 
         self._stats.extend(outputs)
         return outputs

@@ -188,3 +188,55 @@ def test_mtcnn_lite_family(rng):
     assert raw["landmarks"].shape == (2, 4, 5, 2)
     result = det.detect(synthetic_face_image(rng, 200, 200))
     assert result is None or set(result.keys()) == {"bbox", "landmarks", "confidence", "num_faces"}
+
+
+def test_fused_batch_matches_modular_stages(rng):
+    """The one-dispatch fused graph (detect→best-face→quality→align,
+    pipeline._get_fused) must reproduce the modular per-stage path
+    bitwise: same detections, bit-identical uint8 faces, same quality
+    scores. The fused path triggers when frame shape == detection canvas
+    (uniform corpora)."""
+    cfg = {
+        "detection": {
+            "model": "scrfd",
+            "confidence_threshold": 0.0,
+            "nms_threshold": 0.4,
+            "keep_top_k": 1,
+            "scrfd": {"input_size": [160, 160], "max_detections": 8},
+        },
+        "alignment": {"output_size": [224, 224], "method": "similarity"},
+        "quality": {"enabled": True},
+        "pipeline": {"normalize": {"enabled": True}, "save_format": "png"},
+    }
+    p = PreprocessingPipeline(cfg)
+    images = [synthetic_face_image(rng, 160, 160) for _ in range(3)]
+
+    fused = p.process_batch(
+        [im.copy() for im in images],
+        image_ids=["a", "b", "c"], datasets=["d"] * 3, labels=["real"] * 3,
+    )
+
+    # Modular reference: the same stage functions called one at a time.
+    dets = p.detector.batch_detect([im.copy() for im in images])
+    assert all(d is not None for d in dets)  # conf 0.0 always keeps top-1
+    imgs = np.stack(images)
+    lms = np.stack([d["landmarks"] for d in dets])
+    qs = p.quality_checker.check_quality_batch(
+        imgs, lms,
+        np.stack([d["bbox"] for d in dets]),
+        np.asarray([d["confidence"] for d in dets], np.float32),
+    )
+    aligned, aligned_lms, tforms = p.aligner.align_batch(imgs, lms, out_uint8=True)
+
+    for i, out in enumerate(fused):
+        assert out.success
+        np.testing.assert_allclose(out.bbox, dets[i]["bbox"], atol=1e-4)
+        np.testing.assert_allclose(
+            out.original_landmarks, dets[i]["landmarks"], atol=1e-4
+        )
+        assert abs(out.confidence - dets[i]["confidence"]) < 1e-6
+        np.testing.assert_array_equal(out.aligned_face, aligned[i])
+        np.testing.assert_allclose(out.landmarks, aligned_lms[i], atol=1e-4)
+        np.testing.assert_allclose(out.tform, tforms[i], atol=1e-6)
+        assert abs(out.quality_score - qs[i]["overall_score"]) < 1e-5
+        assert out.quality_details["reasons"] == qs[i]["reasons"]
