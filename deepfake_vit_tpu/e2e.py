@@ -52,9 +52,11 @@ class FusedPipeline:
         dtype=jnp.bfloat16,
         use_fused_backbone: bool = False,
         use_int8_tail: bool = False,
+        int8_tail_start: Optional[int] = None,
         use_s2d_early: bool = False,
         keep_top_k: int = 1,
         nms_threshold: float = 0.4,
+        compute_quality: bool = True,
     ):
         """serving_size decouples the FRAME resolution from the detection
         canvas: frames enter at serving_size, are average-pooled by the
@@ -83,6 +85,12 @@ class FusedPipeline:
         # Int8 late-stage tail (models/int8_tail.py): s8×s8→s32 MXU matmuls
         # for the late-block 1×1 convs, parity-gated in tests/test_int8_tail.
         self.use_int8_tail = use_int8_tail
+        self.int8_tail_start = int8_tail_start
+        # Quality scoring costs ~3 ms at b128; the reference's inference
+        # path (predict, task.ipynb cell 16) runs NO quality check — this
+        # flag is the parity-defensible max-throughput knob. Default ON to
+        # keep the richer serving contract.
+        self.compute_quality = compute_quality
         # S2d-4 early stages (models/s2d_early.py): the 112² stem/stage-1/2
         # portion on compact phase-blocked tensors; parity-gated in
         # tests/test_s2d_early.py. Composes with the int8 tail.
@@ -297,8 +305,13 @@ class FusedPipeline:
             aligned = warp_affine_auto(src, tform, self.output_size)
         aligned_lms = transform_points(tform, lms)
 
-        # 3. Quality scoring on the aligned face (fused).
-        quality, q_valid, _ = overall_quality(aligned, aligned_lms, bbox, conf)
+        # 3. Quality scoring on the aligned face (fused). Skippable: the
+        #    reference's inference path runs no quality check.
+        if self.compute_quality:
+            quality, q_valid, _ = overall_quality(aligned, aligned_lms, bbox, conf)
+        else:
+            quality = jnp.ones_like(conf)
+            q_valid = jnp.ones_like(conf, dtype=bool)
 
         # 4. Classification. The bandwidth-bound early backbone stages run
         #    in the fused Pallas kernels (models/fused_backbone.py); the
@@ -333,7 +346,8 @@ class FusedPipeline:
                                      image_size=self.output_size[0])
                 x, start_block = s2d(x), s2d.resume_block
             if self.use_int8_tail:
-                start = default_tail_start(self.model.variant)
+                start = (self.int8_tail_start if self.int8_tail_start is not None
+                         else default_tail_start(self.model.variant))
                 backbone = EfficientNetBackbone(
                     variant=self.model.variant, capture_indices=(start - 1,),
                     dtype=jnp.bfloat16,
@@ -343,7 +357,8 @@ class FusedPipeline:
                     return_maps=True, return_intermediate=True,
                     start_block=start_block,
                 )
-                x = Int8TailRunner(self.model.variant, bbp, bbs)(inter[start - 1])
+                x = Int8TailRunner(self.model.variant, bbp, bbs,
+                                   start_block=start)(inter[start - 1])
                 start_block = len(block_args(self.model.variant))
             logits, features = self.model.apply(
                 model_vars, x, aligned_lms, train=False,

@@ -213,3 +213,40 @@ def test_stem_pool_fold_exact(rng):
             np.testing.assert_allclose(
                 np.asarray(out[s][k]), np.asarray(ref[s][k]), atol=2e-4
             )
+
+
+def test_quality_off_and_int8_start_knobs(pipe, variables, rng):
+    """compute_quality=False keeps the output contract (quality == 1,
+    valid) with identical probs; int8_tail_start overrides the tail split
+    (exercised on the b0 graph — the parity gate lives in
+    tests/test_int8_tail.py)."""
+    det_vars, model_vars = variables
+    frames = jnp.asarray(rng.uniform(0, 255, (2, 128, 128, 3)), jnp.float32)
+    ref = jax.device_get(pipe.forward(det_vars, model_vars, frames))
+
+    model_cfg = {
+        "model": {
+            "feature_extractor": {"variant": "b0", "dropout_rate": 0.2},
+            "classifier": {"hidden_dims": [16], "num_classes": 2},
+        }
+    }
+    noq = FusedPipeline(
+        model_cfg, detection_input_size=(128, 128), output_size=(64, 64),
+        confidence_threshold=0.0, dtype=jnp.float32, compute_quality=False,
+    )
+    out = jax.device_get(noq.forward(det_vars, model_vars, frames))
+    np.testing.assert_array_equal(out["quality"], 1.0)
+    assert out["quality_valid"].all()
+    np.testing.assert_allclose(out["probs"], ref["probs"], atol=1e-5)
+
+    from deepfake_vit_tpu.models.int8_tail import default_tail_start
+
+    start = default_tail_start("b0") - 2
+    early = FusedPipeline(
+        model_cfg, detection_input_size=(128, 128), output_size=(64, 64),
+        confidence_threshold=0.0, dtype=jnp.float32,
+        use_int8_tail=True, int8_tail_start=start,
+    )
+    out8 = jax.device_get(early.forward(det_vars, model_vars, frames))
+    assert out8["probs"].shape == (2, 2)
+    assert np.abs(out8["probs"] - ref["probs"]).max() < 0.05
