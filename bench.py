@@ -73,7 +73,7 @@ def main():
     batch = 256
     pipe = FusedPipeline(model_config, detection_input_size=det_size,
                          serving_size=serving, confidence_threshold=0.0,
-                         use_int8_tail=True)
+                         use_int8_tail=True, int8_tail_start=10)
     # Initialize on the host CPU backend (local, fast compile), then move to
     # the accelerator — compiles over the TPU tunnel cost minutes each.
     cpu = jax.devices("cpu")[0]
@@ -81,6 +81,16 @@ def main():
         # load_variables overlays the committed trained detector weights
         # (same FLOPs as random init; keeps the headline number honest).
         det_vars, model_vars = pipe.load_variables(jax.random.PRNGKey(0))
+        # Static calibrated activation scales + the stage-3 split: the
+        # measured round-3 continuation optimum (73.56 vs 75.00 ms @ b256;
+        # dynamic scales made stage 3 LOSE — BASELINE.md). Calibration
+        # inputs only set scale VALUES (accuracy is gated on representative
+        # faces in tests/test_int8_tail.py); timing is value-independent.
+        pipe.calibrate_int8(
+            model_vars,
+            np.random.default_rng(1).uniform(0, 255, (8, 224, 224, 3)),
+            batch_size=8,
+        )
     det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
     frames = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, size=(batch, *serving, 3)),
@@ -90,7 +100,8 @@ def main():
     t = _time_fn(pipe.forward, det_vars, model_vars, frames, iters=10, warmup=2)
     e2e_fps = batch / t
     print(f"end-to-end: {e2e_fps:.1f} faces/s (batch {batch}, {t*1e3:.2f} ms/step, "
-          f"serving 640² / detect 320² / int8 tail / window 160)", file=sys.stderr)
+          f"serving 640² / detect 320² / static-int8 tail from stage 3 / "
+          f"window 160)", file=sys.stderr)
 
     if "--full" in sys.argv:
         import gc

@@ -53,6 +53,7 @@ class FusedPipeline:
         use_fused_backbone: bool = False,
         use_int8_tail: bool = False,
         int8_tail_start: Optional[int] = None,
+        int8_act_scales: Optional[list] = None,
         use_s2d_early: bool = False,
         keep_top_k: int = 1,
         nms_threshold: float = 0.4,
@@ -86,6 +87,11 @@ class FusedPipeline:
         # for the late-block 1×1 convs, parity-gated in tests/test_int8_tail.
         self.use_int8_tail = use_int8_tail
         self.int8_tail_start = int8_tail_start
+        # Static calibrated activation scales (models/int8_tail.py::
+        # calibrate_act_scales, or the calibrate_int8 convenience below):
+        # removes the per-matmul max-abs reduction + standalone quantize
+        # pass of the dynamic scheme. None → dynamic per-image scales.
+        self.int8_act_scales = int8_act_scales
         # Quality scoring costs ~3 ms at b128; the reference's inference
         # path (predict, task.ipynb cell 16) runs NO quality check — this
         # flag is the parity-defensible max-throughput knob. Default ON to
@@ -128,6 +134,36 @@ class FusedPipeline:
             * np.asarray([self.output_size[1], self.output_size[0]], np.float32)
         )
         self.forward = jax.jit(self._graph)
+
+    def calibrate_int8(self, model_vars, faces, batch_size: int = 32):
+        """Calibrate static int8 activation scales on aligned face crops.
+
+        ``faces``: (N, *output_size, 3) RGB [0, 255] — representative
+        aligned faces (e.g. rendered via data/synth_faces.py, or crops
+        from a deployment corpus). Stores the scales and re-jits
+        ``forward`` so subsequent calls run the static-scale graph.
+        """
+        from .models.int8_tail import calibrate_act_scales, default_tail_start
+
+        if not self.use_int8_tail:
+            raise ValueError("calibrate_int8 requires use_int8_tail=True")
+        faces = jnp.asarray(faces, jnp.float32)
+        norm = (faces / 255.0 - IMAGENET_MEAN) / IMAGENET_STD
+        batches = [
+            norm[i : i + batch_size].astype(self.dtype)
+            for i in range(0, norm.shape[0], batch_size)
+        ]
+        start = (self.int8_tail_start if self.int8_tail_start is not None
+                 else default_tail_start(self.model.variant))
+        self.int8_act_scales = calibrate_act_scales(
+            self.model.variant,
+            model_vars["params"]["feature_extractor"]["backbone"],
+            model_vars["batch_stats"]["feature_extractor"]["backbone"],
+            batches,
+            start_block=start,
+        )
+        self.forward = jax.jit(self._graph)
+        return self.int8_act_scales
 
     def make_sharded(self, mesh):
         """Jit the pipeline over a mesh: frames sharded on 'data', weights
@@ -358,7 +394,8 @@ class FusedPipeline:
                     start_block=start_block,
                 )
                 x = Int8TailRunner(self.model.variant, bbp, bbs,
-                                   start_block=start)(inter[start - 1])
+                                   start_block=start,
+                                   act_scales=self.int8_act_scales)(inter[start - 1])
                 start_block = len(block_args(self.model.variant))
             logits, features = self.model.apply(
                 model_vars, x, aligned_lms, train=False,

@@ -54,6 +54,9 @@ class DeepfakePredictor:
         dummy_lms = jnp.zeros((1, 5, 2), jnp.float32)
         rng = jax.random.PRNGKey(0)
         variables = self.model.init({"params": rng, "dropout": rng}, dummy_img, dummy_lms)
+        # The ViT fallback family carries no BatchNorm state.
+        variables = dict(variables)
+        variables.setdefault("batch_stats", {})
 
         if state is not None:
             self.state = state

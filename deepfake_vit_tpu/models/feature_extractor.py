@@ -215,8 +215,28 @@ class _ClassifierBlock(nn.Module):
         return x
 
 
-def create_model_from_config(model_cfg: Dict[str, Any], dtype: Any = jnp.float32) -> DeepfakeDetectionModel:
-    """Build the flagship model from the model_config.yaml 'model' block."""
+def create_model_from_config(model_cfg: Dict[str, Any], dtype: Any = jnp.float32):
+    """Build the classifier from the model_config.yaml 'model' block.
+
+    ``type: efficientnet`` (default) builds the flagship
+    DeepfakeDetectionModel; ``type: vit`` builds the fallback ViT family
+    (models/vit.py) — the reference's fallback submission path pairs an
+    HF ViT with the dlib detector (task(less_cpu_intensive_ver).ipynb
+    cell 15), and both models share the (images, landmarks, train) →
+    (logits, features) apply contract, so the predictor/evaluator drive
+    either from config alone."""
+    if model_cfg.get("type", "efficientnet") == "vit":
+        from .vit import ViTClassifier
+
+        fe = model_cfg.get("feature_extractor", {})
+        clf = model_cfg.get("classifier", {})
+        return ViTClassifier(
+            variant=fe.get("variant", "base16"),
+            num_classes=clf.get("num_classes", 2),
+            image_size=int(fe.get("image_size", 224)),
+            dropout=float(fe.get("dropout_rate", 0.0)),
+            dtype=dtype,
+        )
     fe = model_cfg.get("feature_extractor", {})
     attn = fe.get("attention_config", {}) or {}
     clf = model_cfg.get("classifier", {})

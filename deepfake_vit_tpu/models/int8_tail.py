@@ -40,16 +40,24 @@ def _quant_w(w: jnp.ndarray):
 
 
 def _int8_matmul(x: jnp.ndarray, wq: jnp.ndarray, sw: jnp.ndarray,
-                 bias: Optional[jnp.ndarray]) -> jnp.ndarray:
-    """(B, H, W, Cin) × (Cin, Cout) with dynamic per-image activation scales.
+                 bias: Optional[jnp.ndarray],
+                 sx: Optional[float] = None) -> jnp.ndarray:
+    """(B, H, W, Cin) × (Cin, Cout), s8×s8→s32 on the MXU; dequantized f32
+    output (caller applies the activation and casts back to bf16).
 
-    s8×s8→s32 on the MXU; dequantized f32 output (caller applies the
-    activation and casts back to bf16).
+    ``sx=None`` → dynamic per-image activation scales (a max-abs
+    reduction + standalone quantize pass per call). A float ``sx`` is a
+    CALIBRATED static scale (``calibrate_act_scales``): the quantize
+    becomes a constant multiply XLA fuses into the producer, and the
+    dequant constant folds into the weight scales — the TPU-native
+    equivalent of TensorRT-style post-training calibration.
     """
-    sx = jnp.maximum(
-        jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True) / 127.0,
-        1e-8,
-    )
+    if sx is None:
+        sx = jnp.maximum(
+            jnp.max(jnp.abs(x.astype(jnp.float32)), axis=(1, 2, 3), keepdims=True)
+            / 127.0,
+            1e-8,
+        )
     xq = jnp.clip(jnp.round(x.astype(jnp.float32) / sx), -127, 127).astype(jnp.int8)
     y = jax.lax.dot_general(
         xq, wq, dimension_numbers=(((3,), (0,)), ((), ())),
@@ -77,8 +85,13 @@ class Int8TailRunner:
         params: Dict[str, Any],
         batch_stats: Dict[str, Any],
         start_block: Optional[int] = None,
+        act_scales: Optional[List[Dict[str, float]]] = None,
     ):
+        """``act_scales``: per-tail-block {'exp': s, 'proj': s} static
+        activation scales from ``calibrate_act_scales`` (None → dynamic
+        per-image scales)."""
         self.variant = variant
+        self.act_scales = act_scales
         args_all = block_args(variant)
         self.start = default_tail_start(variant) if start_block is None else start_block
         self.n_blocks = len(args_all)
@@ -104,12 +117,33 @@ class Int8TailRunner:
 
     def __call__(self, x: jnp.ndarray) -> jnp.ndarray:
         """x: (B, H, W, C) bf16 input activations of flat block ``start``."""
+        return self._run(x)
+
+    def calibrate(self, x: jnp.ndarray):
+        """Run the tail recording per-quant-point max-abs activations.
+
+        Returns (output, records) where records mirrors the
+        ``act_scales`` structure with jnp scalars — callers max them over
+        calibration batches and divide by 127 to get static scales."""
+        records: List[Dict[str, jnp.ndarray]] = []
+        out = self._run(x, records)
+        return out, records
+
+    def _run(self, x: jnp.ndarray, records: Optional[list] = None) -> jnp.ndarray:
         x = x.astype(jnp.bfloat16)
-        for e in self.blocks:
+        for bi, e in enumerate(self.blocks):
             a = e["args"]
+            scales = self.act_scales[bi] if self.act_scales is not None else {}
+            rec: Dict[str, jnp.ndarray] = {}
+            if records is not None:
+                records.append(rec)
             inputs = x
             if "exp" in e:
-                x = jax.nn.silu(_int8_matmul(x, *e["exp"])).astype(jnp.bfloat16)
+                if records is not None:
+                    rec["exp"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+                x = jax.nn.silu(
+                    _int8_matmul(x, *e["exp"], sx=scales.get("exp"))
+                ).astype(jnp.bfloat16)
             kdw, bdw = e["dw"]
             x = jax.lax.conv_general_dilated(
                 x, kdw, (a["stride"], a["stride"]), "SAME",
@@ -126,8 +160,61 @@ class Int8TailRunner:
             se = jax.lax.dot_general(se, w2, (((3,), (0,)), ((), ())),
                                      preferred_element_type=jnp.float32) + b2
             x = x * jax.nn.sigmoid(se).astype(jnp.bfloat16)
-            y = _int8_matmul(x, *e["proj"])
+            if records is not None:
+                rec["proj"] = jnp.max(jnp.abs(x.astype(jnp.float32)))
+            y = _int8_matmul(x, *e["proj"], sx=scales.get("proj"))
             if a["stride"] == 1 and a["in_filters"] == a["out_filters"]:
                 y = y + inputs.astype(jnp.float32)
             x = y.astype(jnp.bfloat16)
         return x
+
+
+def calibrate_act_scales(
+    variant: str,
+    params: Dict[str, Any],
+    batch_stats: Dict[str, Any],
+    face_batches,
+    start_block: Optional[int] = None,
+    margin: float = 1.0,
+) -> List[Dict[str, float]]:
+    """Post-training calibration of static activation scales.
+
+    ``face_batches``: iterable of pre-normalized model inputs
+    (B, H, W, 3) — the same tensors the backbone sees in serving. Runs
+    the early stages + tail once per batch recording max-abs at every
+    quantize point; returns per-tail-block {'exp', 'proj'} scale floats
+    (max over batches / 127 · margin) for ``Int8TailRunner(act_scales=…)``.
+    """
+    from .efficientnet import EfficientNetBackbone
+
+    start = default_tail_start(variant) if start_block is None else start_block
+    if start < 1:
+        raise ValueError("calibration requires start_block >= 1")
+    runner = Int8TailRunner(variant, params, batch_stats, start_block=start)
+    backbone = EfficientNetBackbone(
+        variant=variant, capture_indices=(start - 1,), dtype=jnp.bfloat16
+    )
+
+    @jax.jit
+    def one(faces):
+        _, inter = backbone.apply(
+            {"params": params, "batch_stats": batch_stats},
+            faces, train=False, return_maps=True, return_intermediate=True,
+        )
+        _, records = runner.calibrate(inter[start - 1])
+        return records
+
+    maxes: Optional[List[Dict[str, float]]] = None
+    for faces in face_batches:
+        recs = jax.device_get(one(jnp.asarray(faces)))
+        if maxes is None:
+            maxes = [{k: float(v) for k, v in r.items()} for r in recs]
+        else:
+            for m, r in zip(maxes, recs):
+                for k, v in r.items():
+                    m[k] = max(m[k], float(v))
+    if maxes is None:
+        raise ValueError("no calibration batches provided")
+    return [
+        {k: max(v / 127.0 * margin, 1e-8) for k, v in m.items()} for m in maxes
+    ]

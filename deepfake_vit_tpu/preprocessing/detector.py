@@ -33,6 +33,7 @@ DEFAULT_WEIGHTS = _WEIGHTS_DIR / "scrfd_synface.msgpack"
 DEFAULT_WEIGHTS_BY_MODEL = {
     "scrfd": DEFAULT_WEIGHTS,
     "mtcnn": _WEIGHTS_DIR / "mtcnn_lite_synface.msgpack",
+    "hog": _WEIGHTS_DIR / "hog_synface.msgpack",
 }
 
 
@@ -241,6 +242,20 @@ def create_face_detector(config: Dict[str, Any]) -> FaceDetector:
         # — provided here as the in-framework MTCNN-Lite net
         # (models/mtcnn_lite.py), same host API and decode machinery.
         det = FaceDetector(model_name="mtcnn", **kwargs)
+    elif model in ("hog", "dlib"):
+        # The reference notebook's fallback detector
+        # (task(less_cpu_intensive_ver).ipynb cell 15:
+        # dlib.get_frontal_face_detector) — provided as the TPU-native
+        # HOG + linear-template detector (models/hog_detector.py).
+        from ..models.hog_detector import HogFaceDetector
+
+        det = HogFaceDetector(
+            confidence_threshold=kwargs["confidence_threshold"],
+            nms_threshold=kwargs["nms_threshold"],
+            keep_top_k=kwargs["keep_top_k"],
+            input_size=kwargs["input_size"],
+            upsample=int(config.get("upsample", 1)),
+        )
     elif model in ("scrfd", "retinaface"):
         det = ScrfdFaceDetector(**kwargs)
     else:

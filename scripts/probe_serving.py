@@ -1,0 +1,121 @@
+"""One-config serving-throughput probe for flag/batch experiments.
+
+Times the headline FusedPipeline forward (same measurement protocol as
+bench.py: warmup + transfer-bracketed loop) at an arbitrary batch size so
+XLA-flag and batch-size sweeps don't have to edit bench.py.
+
+Usage:
+    XLA_FLAGS="--xla_tpu_enable_latency_hiding_scheduler=true" \
+        python scripts/probe_serving.py --batch 256 --iters 10
+"""
+
+import argparse
+import os
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("--batch", type=int, default=256)
+    ap.add_argument("--iters", type=int, default=10)
+    ap.add_argument("--warmup", type=int, default=2)
+    ap.add_argument("--warp-window", type=int, default=160)
+    ap.add_argument("--no-int8", action="store_true")
+    ap.add_argument("--int8-static", action="store_true",
+                    help="calibrated static activation scales instead of "
+                    "dynamic per-image scales (calibrates on random faces — "
+                    "scale VALUES don't affect timing)")
+    ap.add_argument("--int8-start", type=int, default=None,
+                    help="first quantized flat block (default: stage 4)")
+    ap.add_argument("--options", type=str, default=None,
+                    help="comma-separated XLA compiler options k=v passed via "
+                    "lower().compile(compiler_options=...) — the client-side "
+                    "XLA_FLAGS parser aborts on TPU-backend-only flags, but "
+                    "PJRT env_option_overrides reach the tunnel compiler")
+    args = ap.parse_args()
+
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from deepfake_vit_tpu.e2e import FusedPipeline
+    from deepfake_vit_tpu.utils import (
+        enable_compilation_cache, get_project_root, load_config,
+    )
+
+    enable_compilation_cache()
+    model_config = load_config(
+        get_project_root() / "deepfake_vit_tpu" / "configs" / "model_config.yaml"
+    )
+    dev = jax.devices()[0]
+    print(f"device: {dev} ({dev.platform})  XLA_FLAGS={os.environ.get('XLA_FLAGS', '')}",
+          file=sys.stderr)
+
+    pipe = FusedPipeline(
+        model_config, detection_input_size=(320, 320), serving_size=(640, 640),
+        confidence_threshold=0.0, use_int8_tail=not args.no_int8,
+        int8_tail_start=args.int8_start,
+        warp_window=args.warp_window,
+    )
+    cpu = jax.devices("cpu")[0]
+    with jax.default_device(cpu):
+        det_vars, model_vars = pipe.load_variables(jax.random.PRNGKey(0))
+        if args.int8_static:
+            # Calibrate on the CPU backend (the scales are host floats;
+            # no reason to spend a tunnel compile on the throwaway
+            # calibration graph).
+            t_cal = time.perf_counter()
+            faces = np.random.default_rng(1).uniform(
+                0, 255, (8, *pipe.output_size, 3)
+            ).astype(np.float32)
+            pipe.calibrate_int8(model_vars, faces, batch_size=8)
+            print(f"calibrated static int8 scales in "
+                  f"{time.perf_counter()-t_cal:.1f} s", file=sys.stderr)
+    det_vars, model_vars = jax.device_put((det_vars, model_vars), dev)
+
+    # Warm the tunnel's first-uint8-transfer path with a tiny real buffer
+    # before the big frame upload (BASELINE.md: first uint8 device_put in a
+    # process crawls at ~0.05 MB/s; steady state is ~30-55 MB/s).
+    jax.device_get(jax.device_put(np.ones((8, 128), np.uint8), dev))
+    frames = jnp.asarray(
+        np.random.default_rng(0).integers(0, 256, size=(args.batch, 640, 640, 3)),
+        jnp.uint8,
+    )
+
+    def _sync(tree):
+        leaves = jax.tree_util.tree_leaves(tree)
+        return jax.device_get([l.ravel()[0] for l in leaves if hasattr(l, "ravel")])
+
+    fwd = pipe.forward
+    if args.options:
+        opts = {}
+        for kv in args.options.split(","):
+            k, v = kv.split("=", 1)
+            opts[k] = {"true": True, "false": False}.get(v.lower(), v)
+        print(f"compiler_options: {opts}", file=sys.stderr)
+        fwd = pipe.forward.lower(det_vars, model_vars, frames).compile(
+            compiler_options=opts
+        )
+
+    t_c0 = time.perf_counter()
+    out = fwd(det_vars, model_vars, frames)
+    _sync(out)
+    print(f"first call (compile+run): {time.perf_counter() - t_c0:.1f} s",
+          file=sys.stderr)
+    for _ in range(args.warmup - 1):
+        _sync(fwd(det_vars, model_vars, frames))
+    t0 = time.perf_counter()
+    for _ in range(args.iters):
+        out = fwd(det_vars, model_vars, frames)
+    _sync(out)
+    t = (time.perf_counter() - t0) / args.iters
+    print(f"e2e b{args.batch} w{args.warp_window}: {args.batch / t:.1f} faces/s "
+          f"({t * 1e3:.2f} ms/step)")
+
+
+if __name__ == "__main__":
+    main()

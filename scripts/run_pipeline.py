@@ -100,6 +100,14 @@ def main():
     parser.add_argument("--confidence", type=float, default=0.5)
     parser.add_argument("--int8", action="store_true",
                         help="serve with the parity-gated int8 late-stage tail")
+    parser.add_argument("--int8-static", action="store_true",
+                        help="with --int8: calibrated static activation scales "
+                        "from the stage-3 split (the measured serving optimum, "
+                        "BASELINE.md) — calibrates at startup on rendered faces")
+    parser.add_argument("--int8-calib-faces", type=str, default=None,
+                        help="optional .npy of (N, 224, 224, 3) RGB [0,255] "
+                        "faces for --int8-static calibration (default: a "
+                        "procedurally rendered face batch)")
     parser.add_argument("--warp-window", type=int, default=160,
                         help="windowed-warp window (128 = measured fast knob)")
     args = parser.parse_args()
@@ -126,6 +134,7 @@ def main():
         serving_size=serving_size,
         confidence_threshold=args.confidence,
         use_int8_tail=args.int8,
+        int8_tail_start=10 if args.int8_static else None,
         warp_window=args.warp_window,
     )
     cpu = jax.devices("cpu")[0]
@@ -135,6 +144,21 @@ def main():
             classifier_checkpoint=args.checkpoint,
             detector_weights=None if args.detector_weights == "none" else args.detector_weights,
         )
+        if args.int8 and args.int8_static:
+            import numpy as _np2
+
+            if args.int8_calib_faces:
+                faces = _np2.load(args.int8_calib_faces)
+            else:
+                from deepfake_vit_tpu.data.synth_faces import render_labeled_face
+
+                _rng = _np2.random.default_rng(0)
+                faces = _np2.stack([
+                    render_labeled_face(_rng, size=pipe.output_size[0])[0]
+                    for _ in range(8)
+                ])
+            logger.info("calibrating static int8 scales (CPU backend)")
+            pipe.calibrate_int8(model_vars, faces, batch_size=8)
     det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
 
     mesh = data_parallel_mesh()

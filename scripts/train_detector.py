@@ -73,8 +73,11 @@ def main():
     parser.add_argument("--batch-size", type=int, default=32)
     parser.add_argument("--epochs", type=int, default=50)
     parser.add_argument("--lr", type=float, default=1e-3)
-    parser.add_argument("--model", type=str, default="scrfd", choices=("scrfd", "mtcnn"),
-                        help="detector family: scrfd (production) or mtcnn (lite)")
+    parser.add_argument("--model", type=str, default="scrfd",
+                        choices=("scrfd", "mtcnn", "hog"),
+                        help="detector family: scrfd (production), mtcnn (lite), "
+                        "or hog (the dlib-fallback linear template — trained by "
+                        "SVM fitting with hard-negative mining, not SGD epochs)")
     parser.add_argument("--resume", type=str, default=None,
                         help="msgpack weights to continue from (crash recovery / "
                         "fine-tuning; parallels train.py --resume)")
@@ -98,6 +101,26 @@ def main():
 
     enable_compilation_cache()
     logger = setup_logger("train_detector")
+
+    if args.model == "hog":
+        # The HOG family is a single linear template: a closed training
+        # recipe (positive/negative window harvesting + SVM + mining) on
+        # freshly rendered scenes, not the anchor-head SGD loop below.
+        from deepfake_vit_tpu.models.hog_detector import HogFaceDetector, fit_hog_template
+
+        n = args.synthetic or 400
+        logger.info(f"fitting HOG template on {n} rendered scenes")
+        params = fit_hog_template(
+            n_scenes=n, scene_size=args.input_size, seed=args.seed,
+            log=logger.info,
+        )
+        det = HogFaceDetector(
+            input_size=(args.input_size, args.input_size), params=params
+        )
+        Path(args.save).parent.mkdir(parents=True, exist_ok=True)
+        det.save_weights(args.save)
+        logger.info(f"saved HOG template → {args.save}")
+        return
 
     if args.synthetic:
         from deepfake_vit_tpu.data.synth_faces import write_corpus

@@ -1,0 +1,201 @@
+"""HOG fallback-detector family: feature parity, geometry, and acceptance.
+
+The reference's fallback submission path detects with
+``dlib.get_frontal_face_detector()`` — a HOG sliding-window detector
+(``task(less_cpu_intensive_ver).ipynb`` cell 15). These tests hold the
+TPU-native re-provision (``models/hog_detector.py``) to:
+
+- HOG cell histograms matching an independent numpy implementation,
+- window/box geometry round-trip (a window hit maps back to the face box),
+- synthesized canonical landmarks sitting at the documented box fractions,
+- acceptance bars on held-out rendered scenes for the shipped template
+  (``weights/hog_synface.msgpack``): recall@IoU>0.5 and a clutter bar,
+- the ``model: "hog"`` config key building the family via the factory.
+"""
+
+import numpy as np
+import pytest
+
+from deepfake_vit_tpu.data.synth_faces import render_scene
+from deepfake_vit_tpu.models.hog_detector import (
+    BINS,
+    CELL,
+    FACE_IN_WINDOW,
+    WINDOW,
+    HogFaceDetector,
+    hog_cells,
+    hog_descriptor,
+    pyramid_sizes,
+)
+from deepfake_vit_tpu.preprocessing.detector import default_weights_path
+
+HELDOUT_SEED = 20260817  # template training uses seed 42; must never overlap
+
+needs_weights = pytest.mark.skipif(
+    default_weights_path("hog") is None, reason="hog template weights not present"
+)
+
+
+def _np_hog_cells(gray: np.ndarray) -> np.ndarray:
+    """Independent scalar HOG reference (f64, explicit loops)."""
+    g = gray.astype(np.float64)
+    dx = np.zeros_like(g)
+    dy = np.zeros_like(g)
+    dx[:, 1:-1] = g[:, 2:] - g[:, :-2]
+    dy[1:-1, :] = g[2:, :] - g[:-2, :]
+    mag = np.sqrt(dx * dx + dy * dy)
+    ang = np.arctan2(dy, dx) % np.pi
+    binf = ang * BINS / np.pi
+    b0 = np.floor(binf).astype(int) % BINS
+    frac = binf - np.floor(binf)
+    b1 = (b0 + 1) % BINS
+    H, W = g.shape
+    Hc, Wc = H // CELL, W // CELL
+    out = np.zeros((Hc, Wc, BINS))
+    for i in range(Hc * CELL):
+        for j in range(Wc * CELL):
+            out[i // CELL, j // CELL, b0[i, j]] += mag[i, j] * (1 - frac[i, j])
+            out[i // CELL, j // CELL, b1[i, j]] += mag[i, j] * frac[i, j]
+    return out
+
+
+def _iou(a, b):
+    x1, y1 = max(a[0], b[0]), max(a[1], b[1])
+    x2, y2 = min(a[2], b[2]), min(a[3], b[3])
+    inter = max(0.0, x2 - x1) * max(0.0, y2 - y1)
+    union = (a[2] - a[0]) * (a[3] - a[1]) + (b[2] - b[0]) * (b[3] - b[1]) - inter
+    return inter / union
+
+
+def test_hog_cells_match_numpy_reference():
+    rng = np.random.default_rng(0)
+    g = rng.uniform(0, 255, (40, 48)).astype(np.float32)
+    ours = np.asarray(hog_cells(g[None]))[0]
+    ref = _np_hog_cells(g)
+    np.testing.assert_allclose(ours, ref, atol=2e-3)
+
+
+def test_descriptor_shape_and_norm():
+    rng = np.random.default_rng(1)
+    wins = rng.uniform(0, 255, (3, WINDOW, WINDOW)).astype(np.float32)
+    d = np.asarray(hog_descriptor(wins))
+    assert d.shape == (3, 9 * 9 * 36)
+    # Every 36-dim block is L2-normalized (clip+renorm keeps unit norm).
+    blocks = d.reshape(3, 81, 36)
+    norms = np.linalg.norm(blocks, axis=-1)
+    np.testing.assert_allclose(norms, 1.0, atol=1e-3)
+
+
+def test_pyramid_static_and_cell_aligned():
+    sizes = pyramid_sizes((320, 320), upsample=1)
+    assert sizes[0] == (640, 640)  # one reference-style upsample level
+    assert all(h % CELL == 0 and w % CELL == 0 for h, w in sizes)
+    assert min(min(s) for s in sizes) >= WINDOW
+
+
+def test_window_geometry_roundtrip():
+    """A template that fires only at one block position must map back to
+    the window's face box (the FACE_IN_WINDOW-shrunk square)."""
+    det = HogFaceDetector(
+        input_size=(160, 160), pretrained=False, upsample=0,
+        confidence_threshold=0.5, nms_threshold=0.3,
+    )
+    # Build an impulse input: strong texture inside one 80x80 window.
+    rng = np.random.default_rng(2)
+    img = np.zeros((160, 160, 3), np.float32)
+    y0, x0 = 40, 56  # window top-left, cell-aligned
+    img[y0 : y0 + WINDOW, x0 : x0 + WINDOW] = rng.uniform(
+        0, 255, (WINDOW, WINDOW, 3)
+    )
+    # Template = that window's own descriptor → max response at its block.
+    gray = img @ np.array([0.299, 0.587, 0.114], np.float32)
+    win_desc = np.asarray(
+        hog_descriptor(gray[None, y0 : y0 + WINDOW, x0 : x0 + WINDOW])
+    )[0]
+    det.variables = {
+        "template": win_desc.reshape(9, 9, 36).astype(np.float32),
+        "bias": np.float32(-0.9 * np.dot(win_desc, win_desc)),
+    }
+    out = det.detect_batch_raw(img[None])
+    assert bool(out["valid"][0][0])
+    box = out["boxes"][0][0]
+    half = WINDOW / FACE_IN_WINDOW / 2.0
+    cx, cy = x0 + WINDOW / 2.0, y0 + WINDOW / 2.0
+    expect = np.array([cx - half, cy - half, cx + half, cy + half])
+    np.testing.assert_allclose(box, expect, atol=CELL)  # block-grid quantization
+
+
+def test_landmarks_at_canonical_fractions():
+    det = HogFaceDetector(input_size=(160, 160), pretrained=False, upsample=0)
+    rng = np.random.default_rng(3)
+    out = det._detect_jit(
+        {
+            "template": rng.normal(0, 0.1, (9, 9, 36)).astype(np.float32),
+            "bias": np.float32(5.0),  # everything fires; geometry is what we test
+        },
+        rng.uniform(0, 255, (1, 160, 160, 3)).astype(np.float32),
+    )
+    box = np.asarray(out["boxes"][0][0])
+    lms = np.asarray(out["landmarks"][0][0])
+    size = box[2:] - box[:2]
+    rel = (lms - box[:2]) / size
+    expect = np.array(
+        [(0.31, 0.32), (0.69, 0.32), (0.50, 0.55), (0.35, 0.75), (0.65, 0.75)]
+    )
+    np.testing.assert_allclose(rel, expect, atol=1e-5)
+
+
+def test_factory_builds_hog_family():
+    from deepfake_vit_tpu.preprocessing import create_face_detector
+
+    det = create_face_detector(
+        {"model": "hog", "scrfd": {"input_size": (160, 160)}, "upsample": 0}
+    )
+    assert isinstance(det, HogFaceDetector)
+    assert det.input_size == (160, 160)
+
+
+@needs_weights
+@pytest.mark.slow
+def test_trained_template_acceptance():
+    """Shipped template on held-out scenes: recall ≥ 0.9 @ IoU>0.5 on
+    single-face scenes (faces 48-180 px, inside the pyramid's range at
+    upsample=1), and detect() returning the reference contract dict."""
+    det = HogFaceDetector(
+        input_size=(320, 320), confidence_threshold=0.5, upsample=1
+    )
+    rng = np.random.default_rng(HELDOUT_SEED)
+    frames, gts = [], []
+    while len(frames) < 32:
+        img, boxes, _ = render_scene(
+            rng, size=320, max_faces=1, min_face=48, max_face=180, p_empty=0.0
+        )
+        if len(boxes):
+            frames.append(img)
+            gts.append(boxes[0])
+    results = det.batch_detect(frames)
+    hits = sum(
+        1
+        for r, gt in zip(results, gts)
+        if r is not None and _iou(r["bbox"], gt) > 0.5
+    )
+    assert hits / len(frames) >= 0.9, f"recall {hits}/{len(frames)}"
+    found = next(r for r in results if r is not None)
+    assert set(found) == {"bbox", "landmarks", "confidence", "num_faces"}
+    assert found["landmarks"].shape == (5, 2)
+
+
+@needs_weights
+@pytest.mark.slow
+def test_trained_template_clutter_bar():
+    """Face-free clutter scenes: dlib's HOG detector false-fires
+    occasionally (the reference fallback takes whatever it returns); the
+    bar here is a bounded rate, not zero — ≤ 20% of empty scenes."""
+    det = HogFaceDetector(
+        input_size=(320, 320), confidence_threshold=0.5, upsample=1
+    )
+    rng = np.random.default_rng(HELDOUT_SEED + 1)
+    frames = [render_scene(rng, size=320, p_empty=1.0)[0] for _ in range(30)]
+    results = det.batch_detect(frames)
+    fp = sum(1 for r in results if r is not None)
+    assert fp <= 6, f"{fp}/30 empty scenes fired"

@@ -77,3 +77,52 @@ def test_padding_does_not_change_result(predictor, rng, monkeypatch):
     out = predictor.predict_frames(frames)
     mean = float(np.mean(out["frame_probs"]))
     np.testing.assert_allclose(out["fake_prob"], mean, atol=1e-5)
+
+
+@pytest.mark.slow
+def test_fallback_path_hog_plus_vit():
+    """The reference's fallback submission stack — dlib-HOG detection +
+    ViT classification (task(less_cpu_intensive_ver).ipynb cell 15) —
+    driven end-to-end from config alone: ``detection.model: "hog"`` +
+    ``model.type: "vit"``. A rendered face must be detected by the
+    shipped template, cropped via the synthesized canonical landmarks,
+    and classified by the ViT in one predict_frames call."""
+    import jax.numpy as jnp
+
+    from deepfake_vit_tpu.data.synth_faces import render_scene
+    from deepfake_vit_tpu.models.hog_detector import HogFaceDetector
+    from deepfake_vit_tpu.models.vit import ViTClassifier
+    from deepfake_vit_tpu.preprocessing.detector import default_weights_path
+
+    if default_weights_path("hog") is None:
+        pytest.skip("hog template weights not present")
+
+    model_cfg = {
+        "model": {
+            "type": "vit",
+            "feature_extractor": {"variant": "tiny16", "image_size": 224},
+            "classifier": {"num_classes": 2},
+        }
+    }
+    pre_cfg = {
+        "detection": {
+            "model": "hog",
+            "confidence_threshold": 0.5,
+            "scrfd": {"input_size": [320, 320]},
+        },
+        "alignment": {"output_size": [224, 224]},
+    }
+    pred = DeepfakePredictor(
+        model_cfg, pre_cfg, frame_count=5, max_batch=4, dtype=jnp.float32
+    )
+    assert isinstance(pred.model, ViTClassifier)
+    assert isinstance(pred.detector, HogFaceDetector)
+
+    scene_rng = np.random.default_rng(99)
+    img, boxes, _ = render_scene(
+        scene_rng, size=320, max_faces=1, min_face=60, max_face=150, p_empty=0.0
+    )
+    out = pred.predict_image(img)
+    assert out["num_faces"] == 1
+    assert 0.0 <= out["fake_prob"] <= 1.0
+    assert out["label"] in (0, 1)
