@@ -49,6 +49,7 @@ class FusedPipeline:
         reference_landmarks: Optional[Dict[str, Tuple[float, float]]] = None,
         serving_size: Optional[Tuple[int, int]] = None,
         warp_window: int = 160,
+        warp_fractional: bool = False,
         dtype=jnp.bfloat16,
         use_fused_backbone: bool = False,
         use_int8_tail: bool = False,
@@ -80,6 +81,11 @@ class FusedPipeline:
         self.input_size = tuple(detection_input_size)
         self.serving_size = tuple(serving_size or detection_input_size)
         self.warp_window = warp_window
+        # Fractional-scale windowed crop (ops/warp.py::window_geometry_frac):
+        # per-face bilinear resample instead of the 2^l block average —
+        # lower crop RMSE vs the exact warp in every face-size bin
+        # (BASELINE.md round-3 fidelity table), exact when the quad fits.
+        self.warp_fractional = warp_fractional
         # Mosaic kernels only lower on TPU; CPU (tests, virtual meshes)
         # falls back to the XLA backbone automatically.
         self.use_fused_backbone = use_fused_backbone and jax.default_backend() == "tpu"
@@ -334,7 +340,7 @@ class FusedPipeline:
         if min(self.serving_size) > self.warp_window:
             aligned = warp_affine_windowed(
                 frames, tform, self.output_size, window=self.warp_window,
-                frame_indices=frame_idx,
+                frame_indices=frame_idx, fractional=self.warp_fractional,
             )
         else:
             src = frames if frame_idx is None else jnp.take(frames, frame_idx, axis=0)

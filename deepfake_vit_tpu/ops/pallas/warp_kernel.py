@@ -308,3 +308,128 @@ def crop_window_pool_pallas(
     return out(y0_l0.astype(jnp.int32), x0.astype(jnp.int32),
                level.astype(jnp.int32), frame_idx.astype(jnp.int32),
                frames_flat)
+
+
+def _crop_frac_kernel(
+    s0_ref, lvl_ref, fi_ref, rfp_ref, offy_ref, x0_ref,
+    img_ref, out_ref, strip_ref, sem, *,
+    window: int, H: int, WC: int, C: int, levels: int, y_align: int,
+):
+    """Fractional-scale window crop (ops/warp.py::window_geometry_frac):
+    DMA ``min(window·2ˡ, H)`` level-0 rows, then resample to (window,
+    window·C) at per-face stride ``r`` (2⁻¹⁶ fixed-point scalar) with
+    bilinear point taps — the two selection matmuls of the pooled kernel
+    with tri() weights instead of block-average indicators:
+
+    V[o, t] = tri(off_y + (o+0.5)·r − 0.5 − t)          (window, rows)
+    Hx[s, j] = tri(x0 + (jx+0.5)·r − 0.5 − sx) · [sc == jc]
+    crop = V @ strip @ Hx — identity (bitwise-exact crop) when r == 1,
+    since the geometry snaps starts to integers.
+    """
+    b = pl.program_id(0)
+    r = rfp_ref[b].astype(jnp.float32) * (1.0 / 65536.0)
+    offy = offy_ref[b].astype(jnp.float32)
+    x0 = x0_ref[b].astype(jnp.float32)
+
+    for l in range(levels):
+        rows = min(window << l, H)
+
+        @pl.when(lvl_ref[b] == l)
+        def _(rows=rows):
+            cp = pltpu.make_async_copy(
+                img_ref.at[
+                    fi_ref[b], pl.ds(pl.multiple_of(s0_ref[b], y_align), rows), :
+                ],
+                strip_ref.at[:rows],
+                sem,
+            )
+            cp.start()
+            cp.wait()
+            dt = out_ref.dtype
+
+            o_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 0)
+            t_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 1)
+            sy = offy + (o_i.astype(jnp.float32) + 0.5) * r - 0.5
+            V = jnp.maximum(
+                0.0, 1.0 - jnp.abs(sy - t_i.astype(jnp.float32))
+            ).astype(dt)
+            t1 = jax.lax.dot_general(
+                V, strip_ref[:rows],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(dt)  # (window, WC)
+
+            WcC = window * C
+            s_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 0)
+            j_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 1)
+            sx = s_i // C
+            sc = s_i - sx * C
+            jx = j_i // C
+            jc = j_i - jx * C
+            sxj = x0 + (jx.astype(jnp.float32) + 0.5) * r - 0.5
+            Hx = jnp.where(
+                sc == jc,
+                jnp.maximum(0.0, 1.0 - jnp.abs(sxj - sx.astype(jnp.float32))),
+                0.0,
+            ).astype(dt)
+            out_ref[0] = jax.lax.dot_general(
+                t1, Hx,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ).astype(out_ref.dtype)
+
+
+@partial(jax.jit, static_argnames=("window", "channels", "levels", "y_align"))
+def crop_window_frac_pallas(
+    frames_flat: jnp.ndarray, strip0: jnp.ndarray, level: jnp.ndarray,
+    r: jnp.ndarray, off_y: jnp.ndarray, x0f: jnp.ndarray,
+    window: int, channels: int, levels: int,
+    y_align: int = 16, frame_idx: jnp.ndarray = None,
+) -> jnp.ndarray:
+    """Fractional-scale sibling of :func:`crop_window_pool_pallas`.
+
+    frames_flat: (B, H, W·C) row-flattened frames; strip0/level/off_y/x0f/r
+    from ``window_geometry_frac`` (strip0 selected per face, LEVEL-0 rows;
+    off_y and x0f are integer-valued floats; r carries the 2⁻¹⁶-quantized
+    resample factor). Returns (N, window, window·C) in the frame dtype.
+    """
+    B, H, WC = frames_flat.shape
+    WCp = -(-WC // 128) * 128
+    if WCp != WC:
+        frames_flat = jnp.pad(frames_flat, ((0, 0), (0, 0), (0, WCp - WC)))
+        WC = WCp
+    if frame_idx is None:
+        frame_idx = jnp.arange(strip0.shape[0], dtype=jnp.int32)
+    N = strip0.shape[0]
+    WcC = window * channels
+    rows_top = min(window << (levels - 1), H)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        out_specs=pl.BlockSpec(
+            (1, window, WcC), lambda b, s0, lvl, fi, rfp, oy, x0: (b, 0, 0),
+            memory_space=pltpu.VMEM,
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((rows_top, WC), frames_flat.dtype),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    out = pl.pallas_call(
+        partial(_crop_frac_kernel, window=window, H=H, WC=WC, C=channels,
+                levels=levels, y_align=y_align),
+        grid_spec=grid_spec,
+        out_shape=jax.ShapeDtypeStruct((N, window, WcC), frames_flat.dtype),
+        cost_estimate=pl.CostEstimate(
+            flops=2 * N * window * WC * (rows_top + WcC),
+            bytes_accessed=N * window * (WC + WcC) * frames_flat.dtype.itemsize,
+            transcendentals=0,
+        ),
+    )
+    rfp = jnp.round(r * 65536.0).astype(jnp.int32)
+    return out(strip0.astype(jnp.int32), level.astype(jnp.int32),
+               frame_idx.astype(jnp.int32), rfp,
+               off_y.astype(jnp.int32), x0f.astype(jnp.int32),
+               frames_flat)

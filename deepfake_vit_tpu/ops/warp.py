@@ -274,10 +274,14 @@ def window_geometry(
     cy = (d * jm + e * im) * 0.5 + f
 
     # fits[ℓ] is monotone in ℓ, so level = #{ℓ < L−1 : not fits[ℓ]}.
+    # Vertical slack is 2·y_align: the floor-aligned strip start can sit up
+    # to y_align−1 rows ABOVE the centered position, eating the bottom
+    # margin — w − y_align slack cropped up to y_align−1 quad rows for
+    # borderline faces (found via the fractional path's coverage tests).
     level = jnp.zeros(a.shape, jnp.int32)
     for l in range(levels - 1):
         fit = ((span_x / 2**l + 2.0) <= window - 1) & (
-            (span_y / 2**l + 2.0) <= window - y_align
+            (span_y / 2**l + 2.0) <= window - 2 * y_align
         )
         level = level + (~fit).astype(jnp.int32)
 
@@ -312,6 +316,144 @@ def window_geometry(
     return level, jnp.stack(y0s), jnp.stack(x0s), A_win
 
 
+def frac_window_levels(src_h: int, window: int) -> int:
+    """Strip-size buckets for the fractional windowed warp: rows at bucket
+    ℓ are ``min(window·2ˡ, src_h)`` — the top bucket is the whole frame
+    height, so ``r`` is only capped by the frame itself (unlike the
+    pooled path, whose top level must still hold a full window)."""
+    levels = 1
+    while (window << (levels - 1)) < src_h:
+        levels += 1
+    return levels
+
+
+def window_geometry_frac(
+    A_inv: jnp.ndarray,
+    out_size: Tuple[int, int],
+    src_hw: Tuple[int, int],
+    window: int,
+    levels: int,
+    y_align: int = 8,
+):
+    """Fractional-scale window geometry: per-face resample factor ``r``.
+
+    The window resamples a DMA strip of ``min(window·2ˡ, H)`` level-0 rows
+    (bucket ℓ chosen per face) at the smallest factor that fits the quad,
+    ``r = max(1, span/(window−2))``, with plain bilinear point taps — the
+    same sampling the exact warp applies — instead of the pooled path's
+    2ˡ block average. Crop error vs the exact warp drops accordingly
+    (BASELINE.md round-3 fidelity table); at r = 1 the path is
+    bitwise-exact. The horizontal axis needs no strip (kernel rows span
+    the full width), so only ``span_y``'s bucket gates the DMA size.
+
+    Returns (level (B,) int32 bucket, strip0s (levels, B) int32 LEVEL-0
+    strip start rows, r (B,) f32, off_y (B,) f32 strip-relative start,
+    x0f (B,) f32 absolute level-0 x start, A_win (B, 2, 3)).
+    """
+    Ho, Wo = out_size
+    Hs, Ws = src_hw
+    if window % y_align:
+        raise ValueError(f"fractional window must be {y_align}-row aligned")
+    a, b = A_inv[:, 0, 0], A_inv[:, 0, 1]
+    c = A_inv[:, 0, 2]
+    d, e = A_inv[:, 1, 0], A_inv[:, 1, 1]
+    f = A_inv[:, 1, 2]
+    jm, im = float(Wo - 1), float(Ho - 1)
+
+    span_x = jnp.abs(a) * jm + jnp.abs(b) * im
+    span_y = jnp.abs(d) * jm + jnp.abs(e) * im
+    cx = (a * jm + b * im) * 0.5 + c
+    cy = (d * jm + e * im) * 0.5 + f
+
+    rows_l = [min(window << l, Hs) for l in range(levels)]
+    # Quad + one window-px bilinear margin per side + 2 px for the integer
+    # floor-snap of the start offsets below: window·r ≥ span + 2r + 2.
+    # Ceil to the 2⁻¹⁶ fixed-point grid the Pallas kernel's
+    # scalar-prefetch rides, so the XLA path, A_win, and the kernel use
+    # the IDENTICAL r.
+    r = jnp.maximum(1.0, (jnp.maximum(span_x, span_y) + 2.0) / float(window - 2))
+    r = jnp.ceil(r * 65536.0) / 65536.0
+    # The top strip is the full frame (frac_window_levels), whose placement
+    # is fixed at row 0 — no alignment slack needed in the cap.
+    r = jnp.minimum(r, float(rows_l[-1]) / window)
+
+    # Bucket ℓ must hold the fractional window plus alignment slack;
+    # bucket 0 (rows == window, start forced to the aligned strip origin)
+    # additionally accepts r == 1 quads whose span leaves room for the
+    # ≤ y_align−1 rows the aligned placement can shift the strip by
+    # (span_y + 2·y_align + 2 ≤ window) — the level-0 exact case.
+    level = jnp.zeros(a.shape, jnp.int32)
+    for l in range(levels - 1):
+        fit = window * r + 2.0 * y_align <= rows_l[l]
+        if l == 0:
+            fit = fit | (
+                (r <= 1.0) & (span_y + 2.0 + 2.0 * y_align <= window)
+            )
+        level = level + (~fit).astype(jnp.int32)
+
+    strip0s = []
+    for l in range(levels):
+        s_raw = (
+            jnp.floor((cy - rows_l[l] / 2) / y_align).astype(jnp.int32) * y_align
+        )
+        strip0s.append(jnp.clip(s_raw, 0, (Hs - rows_l[l]) // y_align * y_align))
+
+    idx = jnp.arange(level.shape[0])
+    strip0 = jnp.stack(strip0s)[level, idx].astype(jnp.float32)
+    rows_sel = jnp.asarray(rows_l, jnp.float32)[level]
+    # Integer starts keep r == 1 windows bitwise-exact (identity taps);
+    # A_win absorbs the snap, so r > 1 fidelity is unaffected.
+    start_y = jnp.floor(
+        jnp.clip(cy - window * r * 0.5, strip0, strip0 + rows_sel - window * r)
+    )
+    off_y = start_y - strip0
+    # Keep the window over the frame when the quad would push it outside
+    # (out-of-frame taps are zero anyway; sliding in retains real pixels,
+    # exactly like the exact warp's border semantics).
+    wr = window * r
+    x0f = jnp.floor(
+        jnp.clip(
+            cx - wr * 0.5, jnp.minimum(0.0, Ws - wr), jnp.maximum(0.0, Ws - wr)
+        )
+    )
+
+    # Window pixel centers sample source y = start + (i + 0.5)·r − 0.5,
+    # so src → window is i = (y − start + 0.5 − 0.5r)/r; at r = 2ˡ this is
+    # exactly the pooled A_win of window_geometry.
+    sh = 0.5 - 0.5 * r
+    A_win = jnp.stack(
+        [
+            jnp.stack([a / r, b / r, (c - x0f + sh) / r], -1),
+            jnp.stack([d / r, e / r, (f - start_y + sh) / r], -1),
+        ],
+        axis=1,
+    )
+    return level, jnp.stack(strip0s), r, off_y, x0f, A_win
+
+
+def _frac_crop_xla(images, start_y, x0f, r, window):
+    """Reference fractional crop: bilinear point-sampling taps at stride
+    ``r`` over the FULL level-0 image as two dense contractions (CPU /
+    parity path — the TPU path builds the same taps inside the Pallas
+    crop kernel over the DMA'd strip only)."""
+    B, Hs, Ws, C = images.shape
+    i = jnp.arange(window, dtype=jnp.float32)
+
+    def one(img, sy0, sx0, rr):
+        sy = sy0 + (i + 0.5) * rr - 0.5
+        sx = sx0 + (i + 0.5) * rr - 0.5
+        V = jnp.maximum(
+            0.0, 1.0 - jnp.abs(sy[:, None] - jnp.arange(Hs, dtype=jnp.float32))
+        )
+        H = jnp.maximum(
+            0.0, 1.0 - jnp.abs(sx[:, None] - jnp.arange(Ws, dtype=jnp.float32))
+        )
+        t1 = jnp.einsum("it,twc->iwc", V, img)
+        return jnp.einsum("iwc,jw->ijc", t1, H)
+
+    return jax.vmap(one)(images, start_y, x0f, r)
+
+
 def _crop_window_xla(images, y0, x0, window):
     """Gather-based crop for CPU/parity paths (fine off-TPU)."""
 
@@ -330,6 +472,7 @@ def warp_affine_windowed(
     inverse: bool = False,
     use_pallas: Optional[bool] = None,
     frame_indices: Optional[jnp.ndarray] = None,
+    fractional: bool = False,
 ) -> jnp.ndarray:
     """Affine warp via per-image window crop from a mip pyramid.
 
@@ -342,6 +485,12 @@ def warp_affine_windowed(
     ``frame_indices`` (N,) maps each of the N matrices to a source frame in
     ``images`` (multi-face serving: K faces per frame share its pixels with
     no frame replication). Default: identity, N == B.
+
+    ``fractional``: resample the window at the per-face factor ``r`` that
+    exactly fits the quad (bilinear point taps, :func:`window_geometry_frac`)
+    instead of the bucketed 2ˡ block average — the same DMA strips, much
+    lower crop error for faces larger than the window (BASELINE.md
+    round-3 fidelity table), still bitwise-exact at level 0.
     """
     B, Hs, Ws, C = images.shape
     N = matrices.shape[0]
@@ -356,6 +505,20 @@ def warp_affine_windowed(
 
     A_inv = matrices if inverse else invert_affine(matrices)
 
+    if use_pallas and fractional:
+        from .pallas.warp_kernel import crop_window_frac_pallas, warp_affine_pallas
+
+        images = images.astype(jnp.bfloat16)
+        levels_f = frac_window_levels(Hs, window)
+        level, strip0s, r, off_y, x0f, A_win = window_geometry_frac(
+            A_inv, out_size, (Hs, Ws), window, levels_f, y_align=16
+        )
+        strip0 = strip0s[level, jnp.arange(N)]
+        crop = crop_window_frac_pallas(
+            images.reshape(B, Hs, Ws * C), strip0, level, r, off_y, x0f,
+            window, C, levels_f, y_align=16, frame_idx=frame_indices,
+        ).reshape(N, window, window, C)
+        return warp_affine_pallas(crop, A_win, out_size, inverse=True)
     if use_pallas:
         from .pallas.warp_kernel import crop_window_pool_pallas, warp_affine_pallas
 
@@ -382,6 +545,16 @@ def warp_affine_windowed(
     images = images.astype(jnp.float32)
     if frame_indices is not None:
         images = jnp.take(images, frame_indices, axis=0)
+    if fractional:
+        # y_align 16 matches the TPU branch so crops are backend-identical.
+        level, strip0s, r, off_y, x0f, A_win = window_geometry_frac(
+            A_inv, out_size, (Hs, Ws), window, frac_window_levels(Hs, window),
+            y_align=16,
+        )
+        idx = jnp.arange(level.shape[0])
+        strip0 = strip0s[level, idx].astype(jnp.float32)
+        crop = _frac_crop_xla(images, strip0 + off_y, x0f, r, window)
+        return warp_affine(crop, A_win, out_size, inverse=True)
     level, y0s, x0s, A_win = window_geometry(
         A_inv, out_size, (Hs, Ws), window, levels
     )

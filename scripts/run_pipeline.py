@@ -110,6 +110,10 @@ def main():
                         "procedurally rendered face batch)")
     parser.add_argument("--warp-window", type=int, default=160,
                         help="windowed-warp window (128 = measured fast knob)")
+    parser.add_argument("--warp-fractional", action="store_true",
+                        help="fractional-scale windowed crop: per-face bilinear "
+                        "resample instead of the 2^l block average — lower crop "
+                        "RMSE in every face-size bin (BASELINE.md)")
     args = parser.parse_args()
 
     import jax
@@ -136,6 +140,7 @@ def main():
         use_int8_tail=args.int8,
         int8_tail_start=10 if args.int8_static else None,
         warp_window=args.warp_window,
+        warp_fractional=args.warp_fractional,
     )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):

@@ -250,3 +250,36 @@ def test_quality_off_and_int8_start_knobs(pipe, variables, rng):
     out8 = jax.device_get(early.forward(det_vars, model_vars, frames))
     assert out8["probs"].shape == (2, 2)
     assert np.abs(out8["probs"] - ref["probs"]).max() < 0.05
+
+
+def test_warp_fractional_serving(rng):
+    """warp_fractional=True routes alignment through the fractional
+    windowed crop (ops/warp.py::window_geometry_frac) end to end; outputs
+    stay finite/contract-shaped and close to the block-average path (both
+    approximate the same exact warp)."""
+    model_cfg = {
+        "model": {
+            "feature_extractor": {"variant": "b0", "dropout_rate": 0.0},
+            "classifier": {"hidden_dims": [16], "num_classes": 2},
+        }
+    }
+    common = dict(
+        detection_input_size=(128, 128),
+        serving_size=(256, 256),
+        output_size=(64, 64),
+        warp_window=160,
+        confidence_threshold=0.0,
+        dtype=jnp.float32,
+    )
+    pipe_b = FusedPipeline(model_cfg, **common)
+    pipe_f = FusedPipeline(model_cfg, warp_fractional=True, **common)
+    det_vars, model_vars = pipe_b.init_variables(jax.random.PRNGKey(0))
+    frames = jnp.asarray(rng.uniform(0, 255, (4, 256, 256, 3)), jnp.float32)
+    out_b = jax.device_get(pipe_b.forward(det_vars, model_vars, frames))
+    out_f = jax.device_get(pipe_f.forward(det_vars, model_vars, frames))
+    assert out_f["probs"].shape == (4, 2)
+    assert np.all(np.isfinite(out_f["probs"]))
+    # same detections, near-identical probabilities (crops differ only by
+    # resample taps for faces larger than the window)
+    np.testing.assert_allclose(out_f["bbox"], out_b["bbox"], atol=1e-3)
+    assert np.abs(out_f["probs"] - out_b["probs"]).max() < 0.2

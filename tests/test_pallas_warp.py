@@ -90,3 +90,86 @@ def test_auto_row_chunk_vmem_budget():
     assert _auto_row_chunk(128, 128, 224, 3) == 32
     assert _auto_row_chunk(320, 320, 224, 3) <= 16
     assert _auto_row_chunk(640, 640, 224, 3) <= 8
+
+
+def test_crop_window_frac_pallas_matches_xla(rng):
+    """Fractional-scale crop kernel vs the XLA fractional reference path:
+    same geometry (y_align 16, 2^-16-quantized r), so the only deltas are
+    bf16 taps/pixels."""
+    from deepfake_vit_tpu.ops.pallas.warp_kernel import crop_window_frac_pallas
+    from deepfake_vit_tpu.ops.warp import (
+        _frac_crop_xla,
+        frac_window_levels,
+        window_geometry_frac,
+    )
+    from deepfake_vit_tpu.ops.umeyama import invert_affine
+
+    B, H, W, C, window = 6, 128, 192, 3, 32
+    img = jnp.asarray(rng.uniform(0, 255, (B, H, W, C)), jnp.float32)
+    levels = frac_window_levels(H, window)  # 32 -> 64 -> 128 rows
+    # Scales spanning buckets 0..2 (out 24², so quad span = 23·s).
+    scales = np.asarray([0.5, 1.0, 1.6, 2.4, 3.5, 4.5], np.float32)
+    thetas = np.asarray([0.0, 0.2, -0.3, 0.1, -0.1, 0.25], np.float32)
+    Ms = []
+    for s, t in zip(scales, thetas):
+        R = s * np.asarray(
+            [[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]], np.float32
+        )
+        Ms.append(np.concatenate([R, [[40.0], [50.0]]], axis=1))
+    A_inv = jnp.asarray(np.stack(Ms))  # dst→src directly
+
+    out_size = (24, 24)
+    level, strip0s, r, off_y, x0f, _ = window_geometry_frac(
+        A_inv, out_size, (H, W), window, levels, y_align=16
+    )
+    assert len(set(np.asarray(level).tolist())) >= 2, "buckets should vary"
+    strip0 = strip0s[level, jnp.arange(B)]
+
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            crop_window_frac_pallas(
+                img.astype(jnp.bfloat16).reshape(B, H, W * C),
+                strip0, level, r, off_y, x0f, window, C, levels,
+            ).astype(jnp.float32)
+        ).reshape(B, window, window, C)
+
+    ref = np.asarray(
+        _frac_crop_xla(
+            img, strip0.astype(jnp.float32) + off_y, x0f, r, window
+        )
+    )
+    err = np.abs(out - ref)
+    assert err.max() < 2.5, f"max {err.max():.2f}"
+    assert err.mean() < 0.4
+
+
+def test_windowed_frac_full_path_interpret(rng):
+    """warp_affine_windowed(fractional=True) pallas path (interpret) vs the
+    XLA fractional path — end-to-end, both resolutions of the serving
+    configs in miniature."""
+    from deepfake_vit_tpu.ops.warp import warp_affine_windowed
+
+    B, S, window = 4, 128, 32
+    img = rng.uniform(0, 255, (B, S, S, 3)).astype(np.float32)
+    Ms = []
+    for s, t in [(0.35, 0.1), (0.8, -0.2), (1.4, 0.0), (2.2, 0.3)]:
+        R = s * np.asarray(
+            [[np.cos(t), -np.sin(t)], [np.sin(t), np.cos(t)]], np.float32
+        )
+        Ms.append(np.concatenate([R, [[30.0], [40.0]]], axis=1))
+    tf = np.linalg.inv(
+        np.concatenate(
+            [np.stack(Ms), np.tile([[0.0, 0.0, 1.0]], (B, 1, 1))], axis=1
+        )
+    )[:, :2]  # src→dst so the function inverts back
+    args = (jnp.asarray(img), jnp.asarray(tf), (24, 24))
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            warp_affine_windowed(*args, window=window, fractional=True,
+                                 use_pallas=True)
+        )
+    ref = np.asarray(
+        warp_affine_windowed(*args, window=window, fractional=True,
+                             use_pallas=False)
+    )
+    assert np.abs(out - ref).max() < 3.0

@@ -107,3 +107,71 @@ def test_y0_alignment_and_bounds(rng):
         assert (y0 % 8 == 0).all()
         assert (y0 >= 0).all() and (y0 <= Sl - W).all()
         assert (x0 >= 0).all() and (x0 <= Sl - W).all()
+
+
+def test_fractional_exact_when_fitting(rng):
+    """Fractional windowed warp is exact (same as the full warp) whenever
+    the quad fits the window at r == 1 — identity taps from integer-snapped
+    starts."""
+    B, S = 8, 320
+    img = jnp.asarray(rng.uniform(0, 255, (B, S, S, 3)), jnp.float32)
+    tf = _face_transforms(rng, B, S, 0.3, 0.45)
+    full = np.asarray(warp_affine(img, tf, (224, 224)))
+    frac = np.asarray(
+        warp_affine_windowed(img, tf, (224, 224), window=160, fractional=True)
+    )
+    from deepfake_vit_tpu.ops.warp import frac_window_levels, window_geometry_frac
+
+    level, _, r, _, _, _ = window_geometry_frac(
+        invert_affine(tf), (224, 224), (S, S), 160,
+        frac_window_levels(S, 160), y_align=16,
+    )
+    sel = np.asarray(r) == 1.0
+    assert sel.sum() >= B // 2, "fixture should produce mostly r==1 faces"
+    err = np.abs(full - frac).reshape(B, -1).max(1)
+    assert err[sel].max() < 1e-2
+
+
+def _smooth_images(rng, B, S, factor=4):
+    """Natural-spectrum fixtures: bilinearly-upsampled low-res noise (pure
+    noise aliases equally under every resampler and hides the difference
+    between block-average and bilinear taps; 4× keeps edge-scale content
+    like the rendered-face corpus the BASELINE table uses)."""
+    small = jnp.asarray(
+        rng.uniform(0, 255, (B, S // factor, S // factor, 3)), jnp.float32
+    )
+    return jax.image.resize(small, (B, S, S, 3), "bilinear")
+
+
+def test_fractional_beats_block_average(rng):
+    """For faces larger than the window, fractional resampling must be
+    closer to the exact warp than the 2^l block average (the measured
+    BASELINE.md round-3 table in miniature)."""
+    B, S = 12, 320
+    img = _smooth_images(rng, B, S)
+    tf = _face_transforms(rng, B, S, 0.8, 1.3)  # big faces -> r > 1
+    full = np.asarray(warp_affine(img, tf, (224, 224)))
+    block = np.asarray(warp_affine_windowed(img, tf, (224, 224), window=160))
+    frac = np.asarray(
+        warp_affine_windowed(img, tf, (224, 224), window=160, fractional=True)
+    )
+    rmse_block = np.sqrt(((block - full) ** 2).mean())
+    rmse_frac = np.sqrt(((frac - full) ** 2).mean())
+    assert rmse_frac < rmse_block * 0.9, (rmse_frac, rmse_block)
+
+
+def test_fractional_covers_giant_faces(rng):
+    """Quads larger than window·2^(levels_pooled−1) stay covered: the top
+    fractional bucket is the whole frame, so no quad row is ever cropped
+    (max error stays bounded by resample blur, not 255-scale truncation)."""
+    B, S = 6, 320
+    img = _smooth_images(rng, B, S, factor=16) + 20.0
+    tf = _face_transforms(rng, B, S, 1.2, 1.4)
+    full = np.asarray(warp_affine(img, tf, (224, 224)))
+    frac = np.asarray(
+        warp_affine_windowed(img, tf, (224, 224), window=64, fractional=True)
+    )
+    err = np.abs(frac - full)
+    assert np.sqrt((err ** 2).mean()) < 25.0
+    # interior pixels must not be zeroed-out quad rows
+    assert (frac[:, 64:160, 64:160].min(axis=(1, 2, 3)) > 0).all()
