@@ -283,3 +283,26 @@ def test_warp_fractional_serving(rng):
     # resample taps for faces larger than the window)
     np.testing.assert_allclose(out_f["bbox"], out_b["bbox"], atol=1e-3)
     assert np.abs(out_f["probs"] - out_b["probs"]).max() < 0.2
+
+
+def test_multi_face_fractional_frame_indices(rng):
+    """keep_top_k > 1 with serving > window routes K faces per frame
+    through the fractional windowed crop via frame_indices (shared frame
+    pixels, no replication); contract and finiteness hold."""
+    model_cfg = {
+        "model": {
+            "feature_extractor": {"variant": "b0", "dropout_rate": 0.0},
+            "classifier": {"hidden_dims": [16], "num_classes": 2},
+        }
+    }
+    pipe = FusedPipeline(
+        model_cfg, detection_input_size=(128, 128), serving_size=(256, 256),
+        output_size=(64, 64), warp_window=160, keep_top_k=3,
+        confidence_threshold=0.0, warp_fractional=True, dtype=jnp.float32,
+    )
+    det_vars, model_vars = pipe.init_variables(jax.random.PRNGKey(0))
+    frames = jnp.asarray(rng.uniform(0, 255, (3, 256, 256, 3)), jnp.float32)
+    out = jax.device_get(pipe.forward(det_vars, model_vars, frames))
+    assert out["probs"].shape == (3, 3, 2)
+    assert np.all(np.isfinite(out["probs"]))
+    assert out["face_valid"].shape == (3, 3)
