@@ -24,6 +24,9 @@ def main():
     ap.add_argument("--iters", type=int, default=10)
     ap.add_argument("--warmup", type=int, default=2)
     ap.add_argument("--warp-window", type=int, default=160)
+    ap.add_argument("--warp-fractional", action="store_true",
+                    help="fractional-scale windowed crop (BASELINE.md "
+                    "round-3 continuation fidelity table)")
     ap.add_argument("--no-int8", action="store_true")
     ap.add_argument("--int8-static", action="store_true",
                     help="calibrated static activation scales instead of "
@@ -60,6 +63,7 @@ def main():
         confidence_threshold=0.0, use_int8_tail=not args.no_int8,
         int8_tail_start=args.int8_start,
         warp_window=args.warp_window,
+        warp_fractional=args.warp_fractional,
     )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
