@@ -39,6 +39,13 @@ def main():
                     "lower().compile(compiler_options=...) — the client-side "
                     "XLA_FLAGS parser aborts on TPU-backend-only flags, but "
                     "PJRT env_option_overrides reach the tunnel compiler")
+    ap.add_argument("--sweep", type=str, default=None,
+                    help="same-process warp-config sweep: comma-separated "
+                    "<window><b|f> combos, e.g. '160b,160f,128f,128b' "
+                    "(b = 2^l block average, f = fractional taps). Each combo "
+                    "is a fresh FusedPipeline sharing the loaded weights and "
+                    "the one int8 calibration; timed under the one-process "
+                    "control protocol of BASELINE.md round-3 tables")
     args = ap.parse_args()
 
     import jax
@@ -93,6 +100,37 @@ def main():
     def _sync(tree):
         leaves = jax.tree_util.tree_leaves(tree)
         return jax.device_get([l.ravel()[0] for l in leaves if hasattr(l, "ravel")])
+
+    if args.sweep:
+        combos = []
+        for tok in args.sweep.split(","):
+            tok = tok.strip()
+            combos.append((int(tok[:-1]), tok[-1] == "f"))
+        for window, frac in combos:
+            p = FusedPipeline(
+                model_config, detection_input_size=(320, 320),
+                serving_size=(640, 640), confidence_threshold=0.0,
+                use_int8_tail=not args.no_int8,
+                int8_tail_start=args.int8_start,
+                int8_act_scales=pipe.int8_act_scales,
+                warp_window=window, warp_fractional=frac,
+            )
+            t_c0 = time.perf_counter()
+            out = p.forward(det_vars, model_vars, frames)
+            _sync(out)
+            print(f"  w{window}{'frac' if frac else 'block'} compile+run "
+                  f"{time.perf_counter() - t_c0:.1f} s", file=sys.stderr)
+            for _ in range(args.warmup - 1):
+                _sync(p.forward(det_vars, model_vars, frames))
+            t0 = time.perf_counter()
+            for _ in range(args.iters):
+                out = p.forward(det_vars, model_vars, frames)
+            _sync(out)
+            t = (time.perf_counter() - t0) / args.iters
+            print(f"e2e b{args.batch} w{window} "
+                  f"{'frac' if frac else 'block'}: {args.batch / t:.1f} "
+                  f"faces/s ({t * 1e3:.2f} ms/step)")
+        return
 
     fwd = pipe.forward
     if args.options:
