@@ -50,6 +50,7 @@ class FusedPipeline:
         serving_size: Optional[Tuple[int, int]] = None,
         warp_window: int = 160,
         warp_fractional: bool = False,
+        warp_tap_mode: str = "legacy",
         dtype=jnp.bfloat16,
         use_fused_backbone: bool = False,
         use_int8_tail: bool = False,
@@ -86,6 +87,10 @@ class FusedPipeline:
         # lower crop RMSE vs the exact warp in every face-size bin
         # (BASELINE.md round-3 fidelity table), exact when the quad fits.
         self.warp_fractional = warp_fractional
+        # Tap-weight construction for the final warp kernel ("legacy" |
+        # "uw" | "uw16" — ops/pallas/warp_kernel.py): the rank-2 MXU modes
+        # cut the measured 2/3-of-kernel VPU construction cost.
+        self.warp_tap_mode = warp_tap_mode
         # Mosaic kernels only lower on TPU; CPU (tests, virtual meshes)
         # falls back to the XLA backbone automatically.
         self.use_fused_backbone = use_fused_backbone and jax.default_backend() == "tpu"
@@ -341,6 +346,7 @@ class FusedPipeline:
             aligned = warp_affine_windowed(
                 frames, tform, self.output_size, window=self.warp_window,
                 frame_indices=frame_idx, fractional=self.warp_fractional,
+                tap_construction=self.warp_tap_mode,
             )
         else:
             src = frames if frame_idx is None else jnp.take(frames, frame_idx, axis=0)

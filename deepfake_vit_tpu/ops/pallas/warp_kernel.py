@@ -37,22 +37,45 @@ from ..umeyama import invert_affine
 
 
 def _auto_row_chunk(Hs: int, Ws: int, Wo: int, C: int,
-                    budget_units: int = 2_500_000) -> int:
+                    budget_units: int = 2_500_000,
+                    live_planes: int = 2) -> int:
     """Largest output-row chunk whose per-cell tap planes fit the 16 MB
     scoped-VMEM stack. The dominant allocations scale with (Hs + Ws)·R·Wo
     (the V/H construction chains); the budget is CALIBRATED to the
     measured boundary on v5e: (160+160)·32·224 ≈ 2.3M units compiles and
     runs, (320+320)·32·224 ≈ 4.6M OOMs (the round-3 preprocess
     regression this function guards against), (320+320)·16·224 ≈ 2.3M is
-    the long-standing round-2 production point."""
+    the long-standing round-2 production point. ``live_planes`` scales the
+    model for construction modes whose peak holds more simultaneous f32
+    tap planes than the legacy chain's two (the f32 U/W mode holds 3)."""
     for R in (32, 16, 8, 4, 2, 1):
-        if (Hs + Ws) * R * Wo <= budget_units:
+        if (Hs + Ws) * R * Wo * live_planes <= budget_units * 2:
             return R
     return 1
 
 
+def _tri_uw_lhs(size: int, dtype) -> "jnp.ndarray":
+    """Constant LHS for the rank-2 tap construction (see _warp_kernel):
+    rows [−1, 1+t, 0…] for the U block, [+1, 1−t, 0…] for the W block, so
+    with the shared RHS [[s], [1], 0…] one MXU matmul yields
+    U[t] = 1 − (s − t) and W[t] = 1 + (s − t) stacked on sublanes, and
+    tri(s − t) = max(0, min(U, W)) — bitwise the classic max(0, 1−|d|).
+    K is padded to the f32 sublane tile (8). ``size`` must be a multiple
+    of 16 (bf16 sublane tile) so the U/W halves slice cleanly."""
+    import numpy as np  # host-side constant
+
+    t = np.arange(size, dtype=np.float32)
+    lhs = np.zeros((2 * size, 8), np.float32)
+    lhs[:size, 0] = -1.0
+    lhs[:size, 1] = 1.0 + t
+    lhs[size:, 0] = 1.0
+    lhs[size:, 1] = 1.0 - t
+    return jnp.asarray(lhs, dtype)
+
+
 def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
-                 R: int, Ho: int, Wo: int, Hs: int, Ws: int, C: int):
+                 R: int, Ho: int, Wo: int, Hs: int, Ws: int, C: int,
+                 construction: str = "legacy"):
     k = pl.program_id(1)
     a = coef_ref[0, 0, 0]
     b = coef_ref[0, 0, 1]
@@ -70,18 +93,56 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
     sy = d * j + e * i + f  # (1, n) source y
 
     # Tap-weight construction dominates this kernel (probe: 8.2 of 12.9 ms
-    # at B=128 — VPU passes over two (window, n) planes per cell), so the
-    # row/column index planes arrive as CONSTANT bf16 inputs (integers
-    # ≤ window are bf16-exact; the f32 subtraction promotes) instead of two
-    # per-cell iota+cast passes.
-
-    # Vertical taps: V_T (Hs, n); tri-weight ⇒ BORDER_CONSTANT=0.
-    # (An early-bf16 variant of this chain measured the same — the VPU runs
-    # bf16 elementwise at f32 rate here; construction cost is pass count.)
-    V = jnp.maximum(0.0, 1.0 - jnp.abs(sy - tconst_ref[...])).astype(jnp.bfloat16)
-
-    # Horizontal taps: H_T (Ws, n), bf16 to halve the matmul-side traffic.
-    H = jnp.maximum(0.0, 1.0 - jnp.abs(sx - sconst_ref[...])).astype(jnp.bfloat16)
+    # at B=128 — VPU passes over two (window, n) planes per cell).
+    if construction == "legacy":
+        # Row/column index planes arrive as CONSTANT bf16 inputs (integers
+        # ≤ window are bf16-exact; the f32 subtraction promotes): 5 VPU
+        # passes per plane (sub, abs, rsub, max, cast). (An early-bf16
+        # variant measured the same — the VPU runs bf16 elementwise at f32
+        # rate here; construction cost is pass count.)
+        # Vertical taps: V_T (Hs, n); tri-weight ⇒ BORDER_CONSTANT=0.
+        V = jnp.maximum(
+            0.0, 1.0 - jnp.abs(sy - tconst_ref[...])
+        ).astype(jnp.bfloat16)
+        # Horizontal taps: H_T (Ws, n), bf16 to halve matmul-side traffic.
+        H = jnp.maximum(
+            0.0, 1.0 - jnp.abs(sx - sconst_ref[...])
+        ).astype(jnp.bfloat16)
+    else:
+        # Rank-2 MXU construction (_tri_uw_lhs): one (2·size, 8)@(8, n)
+        # matmul emits U = 1−(s−t) and W = 1+(s−t) stacked on sublanes;
+        # tri = max(0, min(U, W)) — the same values as 1−|s−t| (min picks
+        # the ≤1 branch), so the VPU does 2–3 passes instead of 5. "uw"
+        # accumulates U/W in f32 (taps bit-identical to legacy up to FMA
+        # association); "uw16" lets the MXU emit bf16 U/W — one extra
+        # bf16 rounding at the |d|≈0 boundary (ulp(1)=2⁻⁷, same class as
+        # the legacy chain's final cast) and one fewer VPU pass + half
+        # the U/W VMEM.
+        acc = jnp.bfloat16 if construction == "uw16" else jnp.float32
+        Hs2 = tconst_ref.shape[0] // 2
+        Ws2 = sconst_ref.shape[0] // 2
+        ones = jnp.ones((1, n), jnp.float32)
+        zeros = jnp.zeros((6, n), jnp.float32)
+        rhs_y = jnp.concatenate([sy, ones, zeros], axis=0)  # (8, n)
+        UW = jax.lax.dot_general(
+            tconst_ref[...], rhs_y,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        V = jnp.maximum(
+            jnp.minimum(UW[:Hs2], UW[Hs2:]), jnp.zeros((), acc)
+        ).astype(jnp.bfloat16)
+        rhs_x = jnp.concatenate([sx, ones, zeros], axis=0)
+        UWx = jax.lax.dot_general(
+            sconst_ref[...], rhs_x,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=acc,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        H = jnp.maximum(
+            jnp.minimum(UWx[:Ws2], UWx[Ws2:]), jnp.zeros((), acc)
+        ).astype(jnp.bfloat16)
 
     # ONE channel-stacked matmul: (C·Ws, Hs) @ (Hs, n). M = C·Ws fills the
     # MXU's 128-row passes (~94% M-utilization at C=3, Ws=160) where the
@@ -103,18 +164,25 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
         )[0]
 
 
-@partial(jax.jit, static_argnames=("out_size", "inverse", "row_chunk"))
+@partial(jax.jit, static_argnames=("out_size", "inverse", "row_chunk",
+                                   "construction"))
 def warp_affine_pallas(
     images: jnp.ndarray,
     matrices: jnp.ndarray,
     out_size: Tuple[int, int],
     inverse: bool = False,
     row_chunk: int = None,
+    construction: str = "legacy",
 ) -> jnp.ndarray:
     """Batched cv2.warpAffine equivalent (bilinear, border 0) as a TPU kernel.
 
     images: (B, Hs, Ws, C) float; matrices: (B, 2, 3) src→dst affines
     (inverted internally unless ``inverse``). Returns (B, Ho, Wo, C) f32.
+
+    ``construction`` selects the tap-weight build (the measured 2/3 cost of
+    this kernel): "legacy" (5 VPU passes per plane), "uw" (rank-2 MXU U/W,
+    3 passes, tap values identical up to FMA association), "uw16" (bf16
+    U/W, 2 passes, one extra bf16 rounding on the taps).
 
     NOTE a source-row-windowed variant (dynamic sublane slice + in-kernel
     transpose to cut the matmul K dim) was built and measured 17× SLOWER
@@ -124,11 +192,25 @@ def warp_affine_pallas(
     """
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_size
+    if construction != "legacy":
+        # U/W halves slice on sublanes: pad sources to the bf16 tile (16).
+        # Zero-pixel pad rows/cols contribute nothing, exactly like the
+        # legacy border — taps there multiply zero pixels.
+        Hp, Wp = -(-Hs // 16) * 16, -(-Ws // 16) * 16
+        if (Hp, Wp) != (Hs, Ws):
+            images = jnp.pad(
+                images, ((0, 0), (0, Hp - Hs), (0, Wp - Ws), (0, 0))
+            )
+            Hs, Ws = Hp, Wp
     if row_chunk is None:
         # The V/H tap planes scale with (source size × R·Wo); big chunks
         # amortize per-cell overheads for window-sized crops but blow the
-        # 16 MB scoped-VMEM stack for full-frame sources.
-        row_chunk = _auto_row_chunk(Hs, Ws, Wo, C)
+        # 16 MB scoped-VMEM stack for full-frame sources. The f32 U/W mode
+        # holds 3 simultaneous f32 planes at peak (U/W pair + min) vs the
+        # legacy chain's 2.
+        row_chunk = _auto_row_chunk(
+            Hs, Ws, Wo, C, live_planes=3 if construction == "uw" else 2
+        )
     R = row_chunk
     while Ho % R != 0:
         R //= 2
@@ -146,15 +228,24 @@ def warp_affine_pallas(
         out_shape=jax.ShapeDtypeStruct((B, n_chunks, C, R * Wo), jnp.float32),
     )
 
-    kernel = partial(_warp_kernel, R=R, Ho=Ho, Wo=Wo, Hs=Hs, Ws=Ws, C=C)
+    kernel = partial(_warp_kernel, R=R, Ho=Ho, Wo=Wo, Hs=Hs, Ws=Ws, C=C,
+                     construction=construction)
     imgT = jnp.transpose(images.astype(jnp.bfloat16), (0, 3, 2, 1))  # (B,C,Ws,Hs)
     n = R * Wo
-    tconst = jnp.broadcast_to(
-        jnp.arange(Hs, dtype=jnp.bfloat16)[:, None], (Hs, n)
-    )
-    sconst = jnp.broadcast_to(
-        jnp.arange(Ws, dtype=jnp.bfloat16)[:, None], (Ws, n)
-    )
+    if construction == "legacy":
+        tconst = jnp.broadcast_to(
+            jnp.arange(Hs, dtype=jnp.bfloat16)[:, None], (Hs, n)
+        )
+        sconst = jnp.broadcast_to(
+            jnp.arange(Ws, dtype=jnp.bfloat16)[:, None], (Ws, n)
+        )
+    else:
+        tconst = _tri_uw_lhs(Hs, jnp.float32)  # (2·Hs, 8)
+        sconst = _tri_uw_lhs(Ws, jnp.float32)  # (2·Ws, 8)
+    t_spec = (pl.BlockSpec(tconst.shape, lambda bi, ki: (0, 0),
+                           memory_space=pltpu.VMEM),
+              pl.BlockSpec(sconst.shape, lambda bi, ki: (0, 0),
+                           memory_space=pltpu.VMEM))
     out = pl.pallas_call(
         kernel,
         in_specs=[
@@ -162,10 +253,7 @@ def warp_affine_pallas(
                          memory_space=pltpu.SMEM),
             pl.BlockSpec((1, C, Ws, Hs), lambda bi, ki: (bi, 0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((Hs, n), lambda bi, ki: (0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((Ws, n), lambda bi, ki: (0, 0),
-                         memory_space=pltpu.VMEM),
+            *t_spec,
         ],
         cost_estimate=pl.CostEstimate(
             flops=2 * B * n_chunks * C * Ws * Hs * R * Wo,
@@ -186,8 +274,10 @@ def warp_affine_pallas(
 
 
 def _crop_pool_kernel(
-    y0_ref, x0_ref, lvl_ref, fi_ref, img_ref, out_ref, strip_ref, sem, *,
+    y0_ref, x0_ref, lvl_ref, fi_ref, img_ref, vp_ref, uwlhs_ref, jxrow_ref,
+    mask_ref, out_ref, strip_ref, sem, *,
     window: int, H: int, WC: int, C: int, levels: int, y_align: int,
+    construction: str = "mxu",
 ):
     """One grid cell per image: DMA ``window·2ˡ`` LEVEL-0 rows of the
     selected mip level's support, then pool+crop to (window, window·C) with
@@ -199,8 +289,17 @@ def _crop_pool_kernel(
     Horizontal: Hp[s, j] = 2⁻ˡ · [(s//C)>>l == x0 + j//C] · [s%C == j%C]
     crop = Vp @ strip @ Hp — exact 4ˡ-block averaging, identical to l
     applications of ``_avg_pool2`` followed by the window crop.
+
+    ``construction`` "mxu": Vp arrives as a CONSTANT per-level plane (4⁻ˡ
+    folded in — pow-2 scaling keeps t1's rounding bitwise), and Hp is
+    tri((sx>>l) − jx − x0)·mask — for integer arguments tri IS the
+    equality indicator — via the rank-2 U/W matmul with per-level constant
+    LHS (sx>>l baked in): the per-face iota + div/mod + shift + compare
+    passes collapse to min/max/mul over the plane. "legacy" keeps the
+    original per-face construction.
     """
     b = pl.program_id(0)
+    WcC = window * C
 
     for l in range(levels):
         rows = window << l
@@ -217,27 +316,50 @@ def _crop_pool_kernel(
             cp.start()
             cp.wait()
             inv = 1.0 / (1 << l)
-
-            r_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 1)
-            o_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 0)
             dt = out_ref.dtype
-            Vp = jnp.where((r_i >> l) == o_i, inv, 0.0).astype(dt)
+
+            if construction == "legacy":
+                r_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 1)
+                o_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 0)
+                Vp = jnp.where((r_i >> l) == o_i, inv, 0.0).astype(dt)
+            else:
+                Vp = vp_ref[l][:, :rows]  # const, 4⁻ˡ pre-folded
             t1 = jax.lax.dot_general(
                 Vp, strip_ref[:rows],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dt)  # (window, WC)
 
-            WcC = window * C
-            s_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 0)
-            j_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 1)
-            sx = s_i // C
-            sc = s_i - sx * C
-            jx = j_i // C
-            jc = j_i - jx * C
-            Hp = jnp.where(
-                ((sx >> l) == (jx + x0_ref[b])) & (sc == jc), inv, 0.0
-            ).astype(dt)
+            if construction == "legacy":
+                s_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 0)
+                j_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 1)
+                sx = s_i // C
+                sc = s_i - sx * C
+                jx = j_i // C
+                jc = j_i - jx * C
+                Hp = jnp.where(
+                    ((sx >> l) == (jx + x0_ref[b])) & (sc == jc), inv, 0.0
+                ).astype(dt)
+            else:
+                x0v = x0_ref[b].astype(jnp.float32)
+                rhs = jnp.concatenate(
+                    [jxrow_ref[...] + x0v,
+                     jnp.ones((1, WcC), jnp.float32),
+                     jnp.zeros((6, WcC), jnp.float32)], axis=0
+                )  # (8, WcC): shared RHS [[jx + x0], [1], 0…]
+                UWx = jax.lax.dot_general(
+                    uwlhs_ref[l], rhs,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                Hp = (
+                    jnp.maximum(
+                        jnp.minimum(UWx[:WC], UWx[WC:]),
+                        jnp.zeros((), jnp.bfloat16),
+                    )
+                    * mask_ref[...]
+                ).astype(dt)
             out_ref[0] = jax.lax.dot_general(
                 t1, Hp,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -245,11 +367,13 @@ def _crop_pool_kernel(
             ).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("window", "channels", "levels", "y_align"))
+@partial(jax.jit, static_argnames=("window", "channels", "levels", "y_align",
+                                   "construction"))
 def crop_window_pool_pallas(
     frames_flat: jnp.ndarray, y0_l0: jnp.ndarray, x0: jnp.ndarray,
     level: jnp.ndarray, window: int, channels: int, levels: int,
     y_align: int = 16, frame_idx: jnp.ndarray = None,
+    construction: str = "mxu",
 ) -> jnp.ndarray:
     """Per-image pooled window crops straight from level-0 frames.
 
@@ -279,24 +403,62 @@ def crop_window_pool_pallas(
     if frame_idx is None:
         frame_idx = jnp.arange(y0_l0.shape[0], dtype=jnp.int32)
     N = y0_l0.shape[0]
-    WcC = window * channels
+    C = channels
+    WcC = window * C
+    rows_top = window << (levels - 1)
+
+    import numpy as np  # host-side constants
+
+    # Constants for the mxu construction: per-level Vp planes (4⁻ˡ folded —
+    # pow-2 exact, so t1's bf16 rounding is bitwise the legacy value),
+    # per-level U/W LHS with sx>>l baked in, the output-lane x index row,
+    # and the channel-phase mask (level-independent once 4⁻ˡ lives in Vp).
+    vp = np.zeros((levels, window, rows_top), np.float32)
+    for l in range(levels):
+        rr = np.arange(window << l)
+        vp[l, rr >> l, rr] = 0.25 ** l
+    sxv = np.arange(WC, dtype=np.int64) // C
+    uwlhs = np.zeros((levels, 2 * WC, 8), np.float32)
+    for l in range(levels):
+        sxl = (sxv >> l).astype(np.float32)
+        uwlhs[l, :WC, 0] = -1.0
+        uwlhs[l, :WC, 1] = 1.0 + sxl
+        uwlhs[l, WC:, 0] = 1.0
+        uwlhs[l, WC:, 1] = 1.0 - sxl
+    jxrow = (np.arange(WcC, dtype=np.int64) // C).astype(np.float32)[None]
+    mask = (
+        (np.arange(WC, dtype=np.int64) % C)[:, None]
+        == (np.arange(WcC, dtype=np.int64) % C)[None, :]
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(N,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((levels, window, rows_top),
+                         lambda b, y0, x0, lvl, fi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((levels, 2 * WC, 8),
+                         lambda b, y0, x0, lvl, fi: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WcC), lambda b, y0, x0, lvl, fi: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WC, WcC), lambda b, y0, x0, lvl, fi: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
             (1, window, WcC), lambda b, y0, x0, lvl, fi: (b, 0, 0),
             memory_space=pltpu.VMEM,
         ),
         scratch_shapes=[
-            pltpu.VMEM((window << (levels - 1), WC), frames_flat.dtype),
+            pltpu.VMEM((rows_top, WC), frames_flat.dtype),
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
         partial(_crop_pool_kernel, window=window, H=H, WC=WC, C=channels,
-                levels=levels, y_align=y_align),
+                levels=levels, y_align=y_align, construction=construction),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, window, WcC), frames_flat.dtype),
         cost_estimate=pl.CostEstimate(
@@ -307,13 +469,17 @@ def crop_window_pool_pallas(
     )
     return out(y0_l0.astype(jnp.int32), x0.astype(jnp.int32),
                level.astype(jnp.int32), frame_idx.astype(jnp.int32),
-               frames_flat)
+               frames_flat, jnp.asarray(vp, frames_flat.dtype),
+               jnp.asarray(uwlhs), jnp.asarray(jxrow),
+               jnp.asarray(mask, jnp.bfloat16))
 
 
 def _crop_frac_kernel(
     s0_ref, lvl_ref, fi_ref, rfp_ref, offy_ref, x0_ref,
-    img_ref, out_ref, strip_ref, sem, *,
+    img_ref, tlane_ref, uwlhs_ref, jxrow_ref, mask_ref,
+    out_ref, strip_ref, sem, *,
     window: int, H: int, WC: int, C: int, levels: int, y_align: int,
+    construction: str = "mxu",
 ):
     """Fractional-scale window crop (ops/warp.py::window_geometry_frac):
     DMA ``min(window·2ˡ, H)`` level-0 rows, then resample to (window,
@@ -325,11 +491,20 @@ def _crop_frac_kernel(
     Hx[s, j] = tri(x0 + (jx+0.5)·r − 0.5 − sx) · [sc == jc]
     crop = V @ strip @ Hx — identity (bitwise-exact crop) when r == 1,
     since the geometry snaps starts to integers.
+
+    ``construction`` "mxu" builds the tri planes via the rank-2 U/W
+    scheme (see _warp_kernel): V from an in-kernel (2·window, 2) LHS
+    (sy is face-dependent) against the constant lane-index RHS; Hx from
+    the constant ``uwlhs`` (sx = lane//C baked in host-side — no per-face
+    iota/div/mod passes) against a tiny face-dependent RHS, masked by the
+    constant channel-phase plane. "legacy" keeps the per-face
+    iota + div/mod construction.
     """
     b = pl.program_id(0)
     r = rfp_ref[b].astype(jnp.float32) * (1.0 / 65536.0)
     offy = offy_ref[b].astype(jnp.float32)
     x0 = x0_ref[b].astype(jnp.float32)
+    WcC = window * C
 
     for l in range(levels):
         rows = min(window << l, H)
@@ -347,31 +522,83 @@ def _crop_frac_kernel(
             cp.wait()
             dt = out_ref.dtype
 
-            o_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 0)
-            t_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 1)
-            sy = offy + (o_i.astype(jnp.float32) + 0.5) * r - 0.5
-            V = jnp.maximum(
-                0.0, 1.0 - jnp.abs(sy - t_i.astype(jnp.float32))
-            ).astype(dt)
+            if construction == "legacy":
+                o_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 0)
+                t_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 1)
+                sy = offy + (o_i.astype(jnp.float32) + 0.5) * r - 0.5
+                V = jnp.maximum(
+                    0.0, 1.0 - jnp.abs(sy - t_i.astype(jnp.float32))
+                ).astype(dt)
+            else:
+                # sy is face-dependent → build the (2·window, 2) LHS from
+                # a (window, 1) sublane iota (tiny), shared RHS [[t], [1]].
+                o_col = jax.lax.broadcasted_iota(
+                    jnp.float32, (window, 1), 0
+                )
+                sy = offy + (o_col + 0.5) * r - 0.5
+                ones_c = jnp.ones((window, 1), jnp.float32)
+                zeros_c = jnp.zeros((window, 6), jnp.float32)
+                lhs = jnp.concatenate(
+                    [
+                        jnp.concatenate([ones_c, 1.0 - sy, zeros_c], axis=1),
+                        jnp.concatenate([-ones_c, 1.0 + sy, zeros_c], axis=1),
+                    ],
+                    axis=0,
+                )  # (2·window, 8): U = t − sy + 1, W = sy − t + 1 (K padded
+                # to the f32 sublane tile like _tri_uw_lhs)
+                UW = jax.lax.dot_general(
+                    lhs, tlane_ref[:, :rows],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                V = jnp.maximum(
+                    jnp.minimum(UW[:window], UW[window:]),
+                    jnp.zeros((), jnp.bfloat16),
+                ).astype(dt)
             t1 = jax.lax.dot_general(
                 V, strip_ref[:rows],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dt)  # (window, WC)
 
-            WcC = window * C
-            s_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 0)
-            j_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 1)
-            sx = s_i // C
-            sc = s_i - sx * C
-            jx = j_i // C
-            jc = j_i - jx * C
-            sxj = x0 + (jx.astype(jnp.float32) + 0.5) * r - 0.5
-            Hx = jnp.where(
-                sc == jc,
-                jnp.maximum(0.0, 1.0 - jnp.abs(sxj - sx.astype(jnp.float32))),
-                0.0,
-            ).astype(dt)
+            if construction == "legacy":
+                s_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 0)
+                j_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 1)
+                sx = s_i // C
+                sc = s_i - sx * C
+                jx = j_i // C
+                jc = j_i - jx * C
+                sxj = x0 + (jx.astype(jnp.float32) + 0.5) * r - 0.5
+                Hx = jnp.where(
+                    sc == jc,
+                    jnp.maximum(
+                        0.0, 1.0 - jnp.abs(sxj - sx.astype(jnp.float32))
+                    ),
+                    0.0,
+                ).astype(dt)
+            else:
+                # U = 1 − sxj + sx, W = 1 + sxj − sx: constant LHS rows
+                # [−1, 1+sx] / [+1, 1−sx] (uwlhs), face-dependent RHS
+                # [[sxj], [1]] from the constant jx row.
+                sxj = x0 + (jxrow_ref[...] + 0.5) * r - 0.5  # (1, WcC)
+                rhs = jnp.concatenate(
+                    [sxj, jnp.ones((1, WcC), jnp.float32),
+                     jnp.zeros((6, WcC), jnp.float32)], axis=0
+                )
+                UWx = jax.lax.dot_general(
+                    uwlhs_ref[...], rhs,
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.bfloat16,
+                    precision=jax.lax.Precision.HIGHEST,
+                )
+                Hx = (
+                    jnp.maximum(
+                        jnp.minimum(UWx[:WC], UWx[WC:]),
+                        jnp.zeros((), jnp.bfloat16),
+                    )
+                    * mask_ref[...]
+                ).astype(dt)
             out_ref[0] = jax.lax.dot_general(
                 t1, Hx,
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -379,12 +606,14 @@ def _crop_frac_kernel(
             ).astype(out_ref.dtype)
 
 
-@partial(jax.jit, static_argnames=("window", "channels", "levels", "y_align"))
+@partial(jax.jit, static_argnames=("window", "channels", "levels", "y_align",
+                                   "construction"))
 def crop_window_frac_pallas(
     frames_flat: jnp.ndarray, strip0: jnp.ndarray, level: jnp.ndarray,
     r: jnp.ndarray, off_y: jnp.ndarray, x0f: jnp.ndarray,
     window: int, channels: int, levels: int,
     y_align: int = 16, frame_idx: jnp.ndarray = None,
+    construction: str = "mxu",
 ) -> jnp.ndarray:
     """Fractional-scale sibling of :func:`crop_window_pool_pallas`.
 
@@ -392,6 +621,10 @@ def crop_window_frac_pallas(
     from ``window_geometry_frac`` (strip0 selected per face, LEVEL-0 rows;
     off_y and x0f are integer-valued floats; r carries the 2⁻¹⁶-quantized
     resample factor). Returns (N, window, window·C) in the frame dtype.
+
+    ``construction``: "mxu" (default) builds the tri tap planes via the
+    rank-2 U/W scheme with host-precomputed index constants — no per-face
+    iota/div/mod VPU passes; "legacy" keeps the original construction.
     """
     B, H, WC = frames_flat.shape
     WCp = -(-WC // 128) * 128
@@ -401,13 +634,48 @@ def crop_window_frac_pallas(
     if frame_idx is None:
         frame_idx = jnp.arange(strip0.shape[0], dtype=jnp.int32)
     N = strip0.shape[0]
-    WcC = window * channels
+    C = channels
+    WcC = window * C
     rows_top = min(window << (levels - 1), H)
+
+    import numpy as np  # host-side constants
+
+    # Constant planes for the mxu construction (tiny vs the tap planes they
+    # replace): lane-index RHS for V, the U/W LHS with sx = lane//C baked
+    # in for Hx, the output-lane x index row, and the channel-phase mask.
+    tl = np.zeros((8, rows_top), np.float32)
+    tl[0] = np.arange(rows_top, dtype=np.float32)
+    tl[1] = 1.0
+    sxv = (np.arange(WC, dtype=np.int64) // C).astype(np.float32)
+    uwlhs = np.zeros((2 * WC, 8), np.float32)
+    uwlhs[:WC, 0] = -1.0
+    uwlhs[:WC, 1] = 1.0 + sxv
+    uwlhs[WC:, 0] = 1.0
+    uwlhs[WC:, 1] = 1.0 - sxv
+    jxrow = (np.arange(WcC, dtype=np.int64) // C).astype(np.float32)[None]
+    mask = (
+        (np.arange(WC, dtype=np.int64) % C)[:, None]
+        == (np.arange(WcC, dtype=np.int64) % C)[None, :]
+    )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(N,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec((8, rows_top),
+                         lambda b, s0, lvl, fi, rfp, oy, x0: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((2 * WC, 8),
+                         lambda b, s0, lvl, fi, rfp, oy, x0: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, WcC),
+                         lambda b, s0, lvl, fi, rfp, oy, x0: (0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((WC, WcC),
+                         lambda b, s0, lvl, fi, rfp, oy, x0: (0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
         out_specs=pl.BlockSpec(
             (1, window, WcC), lambda b, s0, lvl, fi, rfp, oy, x0: (b, 0, 0),
             memory_space=pltpu.VMEM,
@@ -419,7 +687,7 @@ def crop_window_frac_pallas(
     )
     out = pl.pallas_call(
         partial(_crop_frac_kernel, window=window, H=H, WC=WC, C=channels,
-                levels=levels, y_align=y_align),
+                levels=levels, y_align=y_align, construction=construction),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((N, window, WcC), frames_flat.dtype),
         cost_estimate=pl.CostEstimate(
@@ -432,4 +700,5 @@ def crop_window_frac_pallas(
     return out(strip0.astype(jnp.int32), level.astype(jnp.int32),
                frame_idx.astype(jnp.int32), rfp,
                off_y.astype(jnp.int32), x0f.astype(jnp.int32),
-               frames_flat)
+               frames_flat, jnp.asarray(tl), jnp.asarray(uwlhs),
+               jnp.asarray(jxrow), jnp.asarray(mask, jnp.bfloat16))

@@ -473,6 +473,7 @@ def warp_affine_windowed(
     use_pallas: Optional[bool] = None,
     frame_indices: Optional[jnp.ndarray] = None,
     fractional: bool = False,
+    tap_construction: str = "legacy",
 ) -> jnp.ndarray:
     """Affine warp via per-image window crop from a mip pyramid.
 
@@ -485,6 +486,10 @@ def warp_affine_windowed(
     ``frame_indices`` (N,) maps each of the N matrices to a source frame in
     ``images`` (multi-face serving: K faces per frame share its pixels with
     no frame replication). Default: identity, N == B.
+
+    ``tap_construction``: tap-weight build for the final warp kernel —
+    "legacy" | "uw" | "uw16" (see ops/pallas/warp_kernel.py; the rank-2
+    MXU modes cut the measured 2/3-of-kernel VPU construction cost).
 
     ``fractional``: resample the window at the per-face factor ``r`` that
     exactly fits the quad (bilinear point taps, :func:`window_geometry_frac`)
@@ -517,8 +522,10 @@ def warp_affine_windowed(
         crop = crop_window_frac_pallas(
             images.reshape(B, Hs, Ws * C), strip0, level, r, off_y, x0f,
             window, C, levels_f, y_align=16, frame_idx=frame_indices,
+            construction="legacy" if tap_construction == "legacy" else "mxu",
         ).reshape(N, window, window, C)
-        return warp_affine_pallas(crop, A_win, out_size, inverse=True)
+        return warp_affine_pallas(crop, A_win, out_size, inverse=True,
+                                  construction=tap_construction)
     if use_pallas:
         from .pallas.warp_kernel import crop_window_pool_pallas, warp_affine_pallas
 
@@ -539,8 +546,10 @@ def warp_affine_windowed(
         crop = crop_window_pool_pallas(
             images.reshape(B, Hs, Ws * C), y0_l0, x0_sel, level,
             window, C, levels, y_align=16, frame_idx=frame_indices,
+            construction="legacy" if tap_construction == "legacy" else "mxu",
         ).reshape(N, window, window, C)
-        return warp_affine_pallas(crop, A_win, out_size, inverse=True)
+        return warp_affine_pallas(crop, A_win, out_size, inverse=True,
+                                  construction=tap_construction)
 
     images = images.astype(jnp.float32)
     if frame_indices is not None:

@@ -39,9 +39,14 @@ def main():
                     "lower().compile(compiler_options=...) — the client-side "
                     "XLA_FLAGS parser aborts on TPU-backend-only flags, but "
                     "PJRT env_option_overrides reach the tunnel compiler")
+    ap.add_argument("--warp-taps", type=str, default="legacy",
+                    choices=["legacy", "uw", "uw16"],
+                    help="warp-kernel tap construction "
+                    "(ops/pallas/warp_kernel.py)")
     ap.add_argument("--sweep", type=str, default=None,
                     help="same-process warp-config sweep: comma-separated "
-                    "<window><b|f> combos, e.g. '160b,160f,128f,128b' "
+                    "<window><b|f>[-taps] combos, e.g. "
+                    "'160b,160f,128f-uw16,128b' "
                     "(b = 2^l block average, f = fractional taps). Each combo "
                     "is a fresh FusedPipeline sharing the loaded weights and "
                     "the one int8 calibration; timed under the one-process "
@@ -71,6 +76,7 @@ def main():
         int8_tail_start=args.int8_start,
         warp_window=args.warp_window,
         warp_fractional=args.warp_fractional,
+        warp_tap_mode=args.warp_taps,
     )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -105,8 +111,9 @@ def main():
         combos = []
         for tok in args.sweep.split(","):
             tok = tok.strip()
-            combos.append((int(tok[:-1]), tok[-1] == "f"))
-        for window, frac in combos:
+            tok, _, taps = tok.partition("-")
+            combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy"))
+        for window, frac, taps in combos:
             p = FusedPipeline(
                 model_config, detection_input_size=(320, 320),
                 serving_size=(640, 640), confidence_threshold=0.0,
@@ -114,12 +121,14 @@ def main():
                 int8_tail_start=args.int8_start,
                 int8_act_scales=pipe.int8_act_scales,
                 warp_window=window, warp_fractional=frac,
+                warp_tap_mode=taps,
             )
             t_c0 = time.perf_counter()
             out = p.forward(det_vars, model_vars, frames)
             _sync(out)
-            print(f"  w{window}{'frac' if frac else 'block'} compile+run "
-                  f"{time.perf_counter() - t_c0:.1f} s", file=sys.stderr)
+            print(f"  w{window}{'frac' if frac else 'block'}-{taps} "
+                  f"compile+run {time.perf_counter() - t_c0:.1f} s",
+                  file=sys.stderr)
             for _ in range(args.warmup - 1):
                 _sync(p.forward(det_vars, model_vars, frames))
             t0 = time.perf_counter()
@@ -128,8 +137,8 @@ def main():
             _sync(out)
             t = (time.perf_counter() - t0) / args.iters
             print(f"e2e b{args.batch} w{window} "
-                  f"{'frac' if frac else 'block'}: {args.batch / t:.1f} "
-                  f"faces/s ({t * 1e3:.2f} ms/step)")
+                  f"{'frac' if frac else 'block'}-{taps}: "
+                  f"{args.batch / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
         return
 
     fwd = pipe.forward

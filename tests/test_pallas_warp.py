@@ -41,7 +41,8 @@ def test_pallas_warp_border_zero(rng):
     assert out[0, :, -5:, :].max() == 0.0  # fully-outside region is border 0
 
 
-def test_crop_window_pool_pallas_matches_xla(rng):
+@pytest.mark.parametrize("construction", ["legacy", "mxu"])
+def test_crop_window_pool_pallas_matches_xla(rng, construction):
     """Pool-fused crop kernel (one cell per image, in-kernel 4^l-block
     averaging, selection-matmul column offset) vs XLA pyramid + crop."""
     from deepfake_vit_tpu.ops.pallas.warp_kernel import crop_window_pool_pallas
@@ -63,6 +64,7 @@ def test_crop_window_pool_pallas_matches_xla(rng):
                 crop_window_pool_pallas(
                     img.astype(dtype).reshape(B, H, W * C),
                     y0_l0, x0, level, window, C, levels,
+                    construction=construction,
                 ).astype(jnp.float32)
             ).reshape(B, window, window, C)
 
@@ -92,7 +94,8 @@ def test_auto_row_chunk_vmem_budget():
     assert _auto_row_chunk(640, 640, 224, 3) <= 8
 
 
-def test_crop_window_frac_pallas_matches_xla(rng):
+@pytest.mark.parametrize("construction", ["legacy", "mxu"])
+def test_crop_window_frac_pallas_matches_xla(rng, construction):
     """Fractional-scale crop kernel vs the XLA fractional reference path:
     same geometry (y_align 16, 2^-16-quantized r), so the only deltas are
     bf16 taps/pixels."""
@@ -130,6 +133,7 @@ def test_crop_window_frac_pallas_matches_xla(rng):
             crop_window_frac_pallas(
                 img.astype(jnp.bfloat16).reshape(B, H, W * C),
                 strip0, level, r, off_y, x0f, window, C, levels,
+                construction=construction,
             ).astype(jnp.float32)
         ).reshape(B, window, window, C)
 
@@ -173,3 +177,60 @@ def test_windowed_frac_full_path_interpret(rng):
                              use_pallas=False)
     )
     assert np.abs(out - ref).max() < 3.0
+
+
+@pytest.mark.parametrize("construction", ["uw", "uw16"])
+def test_pallas_warp_uw_constructions_match_legacy(rng, construction):
+    """Rank-2 MXU tap construction (U = 1−d, W = 1+d, tri = max(0, min)):
+    "uw" is the legacy 1−|d| value up to FMA association; "uw16" adds one
+    bf16 rounding at the |d|≈0 boundary — both within the kernel's bf16
+    error class. The 60×72 source exercises the pad-to-16 path the U/W
+    sublane split requires."""
+    img = rng.uniform(0, 255, (2, 60, 72, 3)).astype(np.float32)
+    theta, scale = 0.2, 0.9
+    R = scale * np.asarray(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    M = np.concatenate([R, np.asarray([[4.0], [2.0]])], axis=1).astype(np.float32)
+    Ms = jnp.asarray(np.tile(M, (2, 1, 1)))
+
+    with pltpu.force_tpu_interpret_mode():
+        legacy = np.asarray(
+            warp_affine_pallas(jnp.asarray(img), Ms, (32, 32))
+        )
+        out = np.asarray(
+            warp_affine_pallas(jnp.asarray(img), Ms, (32, 32),
+                               construction=construction)
+        )
+    atol = 0.6 if construction == "uw" else 2.0
+    np.testing.assert_allclose(out, legacy, atol=atol)
+    # And both stay within the kernel's documented error vs the exact warp.
+    ref = np.asarray(warp_affine(jnp.asarray(img), Ms, (32, 32)))
+    err = np.abs(out - ref)
+    assert err.max() < 3.0
+    assert err.mean() < 0.5
+
+
+def test_windowed_warp_tap_construction_plumbs(rng):
+    """warp_affine_windowed(tap_construction=...) reaches the warp kernel
+    on both the block and fractional pallas paths."""
+    from deepfake_vit_tpu.ops.warp import warp_affine_windowed
+
+    B, S, window = 2, 128, 32
+    img = rng.uniform(0, 255, (B, S, S, 3)).astype(np.float32)
+    tf = np.tile(
+        np.asarray([[0.6, 0.0, 30.0], [0.0, 0.6, 40.0]], np.float32),
+        (B, 1, 1),
+    )
+    args = (jnp.asarray(img), jnp.asarray(tf), (24, 24))
+    for frac in (False, True):
+        with pltpu.force_tpu_interpret_mode():
+            legacy = np.asarray(
+                warp_affine_windowed(*args, window=window, fractional=frac,
+                                     use_pallas=True)
+            )
+            uw = np.asarray(
+                warp_affine_windowed(*args, window=window, fractional=frac,
+                                     use_pallas=True, tap_construction="uw16")
+            )
+        np.testing.assert_allclose(uw, legacy, atol=2.0)

@@ -160,10 +160,17 @@ def test_fractional_beats_block_average(rng):
     assert rmse_frac < rmse_block * 0.9, (rmse_frac, rmse_block)
 
 
-def test_fractional_covers_giant_faces(rng):
+def test_fractional_covers_giant_faces():
     """Quads larger than window·2^(levels_pooled−1) stay covered: the top
     fractional bucket is the whole frame, so no quad row is ever cropped
-    (max error stays bounded by resample blur, not 255-scale truncation)."""
+    (max error stays bounded by resample blur, not 255-scale truncation).
+
+    Local rng: the session fixture's stream position depends on test
+    ordering, and random quads centered near the frame edge legitimately
+    sample outside it (the EXACT warp zeroes there too) — the coverage
+    claim is "frac is nonzero wherever the exact warp is", not "the
+    interior is never zero"."""
+    rng = np.random.default_rng(42)
     B, S = 6, 320
     img = _smooth_images(rng, B, S, factor=16) + 20.0
     tf = _face_transforms(rng, B, S, 1.2, 1.4)
@@ -173,5 +180,8 @@ def test_fractional_covers_giant_faces(rng):
     )
     err = np.abs(frac - full)
     assert np.sqrt((err ** 2).mean()) < 25.0
-    # interior pixels must not be zeroed-out quad rows
-    assert (frac[:, 64:160, 64:160].min(axis=(1, 2, 3)) > 0).all()
+    # No cropped quad rows: wherever the exact warp has real pixel mass in
+    # the output interior, the fractional path must too.
+    interior_full = full[:, 64:160, 64:160]
+    interior_frac = frac[:, 64:160, 64:160]
+    assert (interior_frac[interior_full > 10.0] > 0).all()
