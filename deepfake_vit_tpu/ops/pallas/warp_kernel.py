@@ -54,22 +54,33 @@ def _auto_row_chunk(Hs: int, Ws: int, Wo: int, C: int,
     return 1
 
 
-def _tri_uw_lhs(size: int, dtype) -> "jnp.ndarray":
+def _tri_uw_lhs(size: int, dtype, scale: float = 1.0, bias: float = 0.0,
+                valid: int = None) -> "jnp.ndarray":
     """Constant LHS for the rank-2 tap construction (see _warp_kernel):
-    rows [−1, 1+t, 0…] for the U block, [+1, 1−t, 0…] for the W block, so
-    with the shared RHS [[s], [1], 0…] one MXU matmul yields
-    U[t] = 1 − (s − t) and W[t] = 1 + (s − t) stacked on sublanes, and
-    tri(s − t) = max(0, min(U, W)) — bitwise the classic max(0, 1−|d|).
+    rows [−σ, σ(1+t)+β, 0…] for the U block, [+σ, σ(1−t)+β, 0…] for the
+    W block, so with the shared RHS [[s], [1], 0…] one MXU matmul yields
+    U[t] = σ·(1 − (s − t)) + β and W[t] = σ·(1 + (s − t)) + β stacked on
+    sublanes, and max(0, min(U, W)) = σ·tri(s − t) + β on the support —
+    at σ=1, β=0 bitwise the classic max(0, 1−|d|); σ=127, β=0.5 bakes the
+    int8 quantization (+0.5 so the truncating float→int8 convert rounds).
     K is padded to the f32 sublane tile (8). ``size`` must be a multiple
-    of 16 (bf16 sublane tile) so the U/W halves slice cleanly."""
+    of 16 (bf16 sublane tile) so the U/W halves slice cleanly. Rows
+    ≥ ``valid`` (source padding) get [0, −1] — always-zero taps — needed
+    whenever padded source rows are NOT zero pixels (the int8 mode's
+    shifted pixels decode pad zeros as 128)."""
     import numpy as np  # host-side constant
 
     t = np.arange(size, dtype=np.float32)
     lhs = np.zeros((2 * size, 8), np.float32)
-    lhs[:size, 0] = -1.0
-    lhs[:size, 1] = 1.0 + t
-    lhs[size:, 0] = 1.0
-    lhs[size:, 1] = 1.0 - t
+    lhs[:size, 0] = -scale
+    lhs[:size, 1] = scale * (1.0 + t) + bias
+    lhs[size:, 0] = scale
+    lhs[size:, 1] = scale * (1.0 - t) + bias
+    if valid is not None and valid < size:
+        lhs[valid:size, 0] = 0.0
+        lhs[valid:size, 1] = -1.0
+        lhs[size + valid:, 0] = 0.0
+        lhs[size + valid:, 1] = -1.0
     return jnp.asarray(lhs, dtype)
 
 
@@ -117,7 +128,10 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
         # association); "uw16" lets the MXU emit bf16 U/W — one extra
         # bf16 rounding at the |d|≈0 boundary (ulp(1)=2⁻⁷, same class as
         # the legacy chain's final cast) and one fewer VPU pass + half
-        # the U/W VMEM.
+        # the U/W VMEM. "int8" additionally quantizes the V taps to q7
+        # (σ=127, β=0.5 baked into the LHS so the truncating float→int8
+        # convert rounds) so the channel-stacked matmul runs s8×s8→s32 at
+        # 2× the bf16 MXU rate.
         acc = jnp.bfloat16 if construction == "uw16" else jnp.float32
         Hs2 = tconst_ref.shape[0] // 2
         Ws2 = sconst_ref.shape[0] // 2
@@ -130,9 +144,14 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
             preferred_element_type=acc,
             precision=jax.lax.Precision.HIGHEST,
         )
-        V = jnp.maximum(
-            jnp.minimum(UW[:Hs2], UW[Hs2:]), jnp.zeros((), acc)
-        ).astype(jnp.bfloat16)
+        if construction == "int8":
+            V = jnp.maximum(
+                jnp.minimum(UW[:Hs2], UW[Hs2:]), jnp.zeros((), acc)
+            ).astype(jnp.int8)  # q7 taps: trunc(127·tri + 0.5) = round
+        else:
+            V = jnp.maximum(
+                jnp.minimum(UW[:Hs2], UW[Hs2:]), jnp.zeros((), acc)
+            ).astype(jnp.bfloat16)
         rhs_x = jnp.concatenate([sx, ones, zeros], axis=0)
         UWx = jax.lax.dot_general(
             sconst_ref[...], rhs_x,
@@ -148,20 +167,51 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
     # MXU's 128-row passes (~94% M-utilization at C=3, Ws=160) where the
     # per-channel M=160 variant wasted 38% of every pass on tile padding.
     imgT = imgT_ref[0].reshape(C * Ws, Hs)
-    P = jax.lax.dot_general(
-        imgT, V,
-        dimension_numbers=(((1,), (0,)), ((), ())),
-        preferred_element_type=jnp.float32,
-    ).astype(jnp.bfloat16)  # (C·Ws, n)
-    ones = jnp.ones((1, Ws), jnp.bfloat16)
-    for ch in range(C):
-        # Σ_s as an MXU row-sum (bf16 products, f32 accumulation) — a VPU
-        # sublane reduce would materialize an (Ws, n) f32 upcast per channel.
-        out_ref[0, 0, ch, :] = jax.lax.dot_general(
-            ones, P[ch * Ws:(ch + 1) * Ws] * H,
+    if construction == "int8":
+        # imgT is s8 = pixel − 128 (exact: uint8-range integers). The shift
+        # re-enters through the separable correction 128·(Σ_t V)·(Σ_s H)
+        # — pad rows/cols carry [0, −1] LHS rows (always-zero taps), since
+        # in shifted space pad zeros decode to pixel 128, not border 0.
+        P = jax.lax.dot_general(
+            imgT, V,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.bfloat16)  # (C·Ws, n), ×127 scale
+        colV = jax.lax.dot_general(
+            jnp.ones((1, Hs), jnp.int8), V,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32,
+        ).astype(jnp.float32)  # (1, n), ×127 scale
+        colH = jax.lax.dot_general(
+            jnp.ones((1, Ws), jnp.bfloat16), H,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )[0]
+        )  # (1, n)
+        corr = (128.0 * colV * colH)[0]
+        ones = jnp.ones((1, Ws), jnp.bfloat16)
+        for ch in range(C):
+            acc_row = jax.lax.dot_general(
+                ones, P[ch * Ws:(ch + 1) * Ws] * H,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
+            out_ref[0, 0, ch, :] = (acc_row + corr) * (1.0 / 127.0)
+    else:
+        P = jax.lax.dot_general(
+            imgT, V,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        ).astype(jnp.bfloat16)  # (C·Ws, n)
+        ones = jnp.ones((1, Ws), jnp.bfloat16)
+        for ch in range(C):
+            # Σ_s as an MXU row-sum (bf16 products, f32 accumulation) — a
+            # VPU sublane reduce would materialize an (Ws, n) f32 upcast
+            # per channel.
+            out_ref[0, 0, ch, :] = jax.lax.dot_general(
+                ones, P[ch * Ws:(ch + 1) * Ws] * H,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )[0]
 
 
 @partial(jax.jit, static_argnames=("out_size", "inverse", "row_chunk",
@@ -182,7 +232,10 @@ def warp_affine_pallas(
     ``construction`` selects the tap-weight build (the measured 2/3 cost of
     this kernel): "legacy" (5 VPU passes per plane), "uw" (rank-2 MXU U/W,
     3 passes, tap values identical up to FMA association), "uw16" (bf16
-    U/W, 2 passes, one extra bf16 rounding on the taps).
+    U/W, 2 passes, one extra bf16 rounding on the taps), "int8" (uw-style
+    construction + q7 V taps and shifted-s8 pixels so the channel-stacked
+    matmul runs s8×s8→s32 at 2× the bf16 MXU rate; tap quantization error
+    2⁻⁷ — roughly 2× the bf16 tap class, ≤ ~2 units on 0-255 output).
 
     NOTE a source-row-windowed variant (dynamic sublane slice + in-kernel
     transpose to cut the matmul K dim) was built and measured 17× SLOWER
@@ -192,11 +245,14 @@ def warp_affine_pallas(
     """
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_size
+    Hs_valid, Ws_valid = Hs, Ws
     if construction != "legacy":
-        # U/W halves slice on sublanes: pad sources to the bf16 tile (16).
-        # Zero-pixel pad rows/cols contribute nothing, exactly like the
-        # legacy border — taps there multiply zero pixels.
-        Hp, Wp = -(-Hs // 16) * 16, -(-Ws // 16) * 16
+        # U/W halves slice on sublanes: pad sources to the bf16 tile (16;
+        # 32 for the s8 image layout). Zero-pixel pad rows/cols contribute
+        # nothing in the bf16 modes; the int8 mode zeroes their taps via
+        # the ``valid`` LHS rows instead (shifted pads aren't zero pixels).
+        tile = 32 if construction == "int8" else 16
+        Hp, Wp = -(-Hs // tile) * tile, -(-Ws // tile) * tile
         if (Hp, Wp) != (Hs, Ws):
             images = jnp.pad(
                 images, ((0, 0), (0, Hp - Hs), (0, Wp - Ws), (0, 0))
@@ -209,7 +265,8 @@ def warp_affine_pallas(
         # holds 3 simultaneous f32 planes at peak (U/W pair + min) vs the
         # legacy chain's 2.
         row_chunk = _auto_row_chunk(
-            Hs, Ws, Wo, C, live_planes=3 if construction == "uw" else 2
+            Hs, Ws, Wo, C,
+            live_planes=3 if construction in ("uw", "int8") else 2,
         )
     R = row_chunk
     while Ho % R != 0:
@@ -230,7 +287,19 @@ def warp_affine_pallas(
 
     kernel = partial(_warp_kernel, R=R, Ho=Ho, Wo=Wo, Hs=Hs, Ws=Ws, C=C,
                      construction=construction)
-    imgT = jnp.transpose(images.astype(jnp.bfloat16), (0, 3, 2, 1))  # (B,C,Ws,Hs)
+    if construction == "int8":
+        # Shifted-s8 pixels: round(pixel) − 128 is exact for uint8-range
+        # images (the bf16 path quantizes ≥128 to the same integer grid).
+        imgT = jnp.transpose(
+            jnp.clip(
+                jnp.round(images.astype(jnp.float32)) - 128.0, -128.0, 127.0
+            ).astype(jnp.int8),
+            (0, 3, 2, 1),
+        )  # (B, C, Ws, Hs) s8
+    else:
+        imgT = jnp.transpose(
+            images.astype(jnp.bfloat16), (0, 3, 2, 1)
+        )  # (B, C, Ws, Hs)
     n = R * Wo
     if construction == "legacy":
         tconst = jnp.broadcast_to(
@@ -239,6 +308,10 @@ def warp_affine_pallas(
         sconst = jnp.broadcast_to(
             jnp.arange(Ws, dtype=jnp.bfloat16)[:, None], (Ws, n)
         )
+    elif construction == "int8":
+        tconst = _tri_uw_lhs(Hs, jnp.float32, scale=127.0, bias=0.5,
+                             valid=Hs_valid)  # (2·Hs, 8), q7 V taps
+        sconst = _tri_uw_lhs(Ws, jnp.float32, valid=Ws_valid)  # (2·Ws, 8)
     else:
         tconst = _tri_uw_lhs(Hs, jnp.float32)  # (2·Hs, 8)
         sconst = _tri_uw_lhs(Ws, jnp.float32)  # (2·Ws, 8)

@@ -40,7 +40,7 @@ def main():
                     "XLA_FLAGS parser aborts on TPU-backend-only flags, but "
                     "PJRT env_option_overrides reach the tunnel compiler")
     ap.add_argument("--warp-taps", type=str, default="legacy",
-                    choices=["legacy", "uw", "uw16"],
+                    choices=["legacy", "uw", "uw16", "int8"],
                     help="warp-kernel tap construction "
                     "(ops/pallas/warp_kernel.py)")
     ap.add_argument("--sweep", type=str, default=None,

@@ -81,7 +81,7 @@ def main():
         Ms[:, 1, 1] = sc * np.cos(th)
         Ms[:, :, 2] = 4.0
         A = jnp.asarray(Ms)
-        for mode in ("legacy", "uw", "uw16"):
+        for mode in ("legacy", "uw", "uw16", "int8"):
             ms = _time(warp_affine_pallas, crops, A, (224, 224),
                        inverse=True, construction=mode)
             print(f"warp_affine_pallas b{N} w{w} {mode}: {ms:.2f} ms")

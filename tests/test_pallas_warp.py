@@ -234,3 +234,41 @@ def test_windowed_warp_tap_construction_plumbs(rng):
                                      use_pallas=True, tap_construction="uw16")
             )
         np.testing.assert_allclose(uw, legacy, atol=2.0)
+
+
+def test_pallas_warp_int8_construction(rng):
+    """int8 mode: q7 V taps + shifted-s8 pixels + separable 128·ΣV·ΣH
+    correction. Error class ~2⁻⁷ taps ≈ ≤ ~3 units on 0-255; border-0
+    semantics must hold exactly (pad/outside taps zeroed via the LHS
+    `valid` rows — shifted pads decode to 128, not 0)."""
+    img = rng.uniform(0, 255, (2, 60, 72, 3)).astype(np.float32)
+    theta, scale = -0.25, 1.1
+    R = scale * np.asarray(
+        [[np.cos(theta), -np.sin(theta)], [np.sin(theta), np.cos(theta)]]
+    )
+    M = np.concatenate([R, np.asarray([[4.0], [2.0]])], axis=1).astype(np.float32)
+    Ms = jnp.asarray(np.tile(M, (2, 1, 1)))
+
+    with pltpu.force_tpu_interpret_mode():
+        out = np.asarray(
+            warp_affine_pallas(jnp.asarray(img), Ms, (32, 32),
+                               construction="int8")
+        )
+    # int8 rounds pixels to the integer grid first — compare against the
+    # exact warp of the rounded image.
+    ref = np.asarray(warp_affine(jnp.asarray(np.round(img)), Ms, (32, 32)))
+    err = np.abs(out - ref)
+    assert err.max() < 3.5, f"max {err.max():.2f}"
+    assert err.mean() < 0.6
+
+    # Border: shift pushing half the output outside → exact zeros there.
+    img2 = np.full((1, 48, 48, 3), 200.0, np.float32)
+    M2 = jnp.asarray(
+        np.asarray([[[1.0, 0.0, -30.0], [0.0, 1.0, 0.0]]], np.float32)
+    )
+    with pltpu.force_tpu_interpret_mode():
+        out2 = np.asarray(
+            warp_affine_pallas(jnp.asarray(img2), M2, (48, 48),
+                               construction="int8")
+        )
+    assert out2[0, :, -5:, :].max() == 0.0
