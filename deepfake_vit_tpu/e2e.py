@@ -88,8 +88,11 @@ class FusedPipeline:
         # (BASELINE.md round-3 fidelity table), exact when the quad fits.
         self.warp_fractional = warp_fractional
         # Tap-weight construction for the final warp kernel ("legacy" |
-        # "uw" | "uw16" — ops/pallas/warp_kernel.py): the rank-2 MXU modes
-        # cut the measured 2/3-of-kernel VPU construction cost.
+        # "uw" | "uw16" | "int8" — ops/pallas/warp_kernel.py): the rank-2
+        # MXU modes cut the measured 2/3-of-kernel VPU construction cost;
+        # "int8" additionally runs the main matmul at the s8 MXU rate.
+        # Any non-legacy mode also switches the crop kernels to their
+        # constant-input "mxu" construction (ops/warp.py).
         self.warp_tap_mode = warp_tap_mode
         # Mosaic kernels only lower on TPU; CPU (tests, virtual meshes)
         # falls back to the XLA backbone automatically.
@@ -350,7 +353,8 @@ class FusedPipeline:
             )
         else:
             src = frames if frame_idx is None else jnp.take(frames, frame_idx, axis=0)
-            aligned = warp_affine_auto(src, tform, self.output_size)
+            aligned = warp_affine_auto(src, tform, self.output_size,
+                                       tap_construction=self.warp_tap_mode)
         aligned_lms = transform_points(tform, lms)
 
         # 3. Quality scoring on the aligned face (fused). Skippable: the

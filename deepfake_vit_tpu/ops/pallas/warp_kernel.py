@@ -54,7 +54,7 @@ def _auto_row_chunk(Hs: int, Ws: int, Wo: int, C: int,
     return 1
 
 
-def _tri_uw_lhs(size: int, dtype, scale: float = 1.0, bias: float = 0.0,
+def _tri_uw_lhs(coords, dtype, scale: float = 1.0, bias: float = 0.0,
                 valid: int = None) -> "jnp.ndarray":
     """Constant LHS for the rank-2 tap construction (see _warp_kernel):
     rows [−σ, σ(1+t)+β, 0…] for the U block, [+σ, σ(1−t)+β, 0…] for the
@@ -67,10 +67,16 @@ def _tri_uw_lhs(size: int, dtype, scale: float = 1.0, bias: float = 0.0,
     of 16 (bf16 sublane tile) so the U/W halves slice cleanly. Rows
     ≥ ``valid`` (source padding) get [0, −1] — always-zero taps — needed
     whenever padded source rows are NOT zero pixels (the int8 mode's
-    shifted pixels decode pad zeros as 128)."""
+    shifted pixels decode pad zeros as 128).
+
+    ``coords``: an int (rows are arange(coords)) or a 1-D coordinate
+    vector — the crop kernels pass sx = lane//C (and sx>>l per level) so
+    the same helper builds every U/W LHS in this module."""
     import numpy as np  # host-side constant
 
-    t = np.arange(size, dtype=np.float32)
+    t = (np.arange(coords, dtype=np.float32) if isinstance(coords, int)
+         else np.asarray(coords, np.float32))
+    size = t.shape[0]
     lhs = np.zeros((2 * size, 8), np.float32)
     lhs[:size, 0] = -scale
     lhs[:size, 1] = scale * (1.0 + t) + bias
@@ -81,7 +87,9 @@ def _tri_uw_lhs(size: int, dtype, scale: float = 1.0, bias: float = 0.0,
         lhs[valid:size, 1] = -1.0
         lhs[size + valid:, 0] = 0.0
         lhs[size + valid:, 1] = -1.0
-    return jnp.asarray(lhs, dtype)
+    # Host numpy, NOT jnp: this runs inside jitted wrappers where a jnp
+    # constant would become a tracer the numpy-side stacking can't consume.
+    return lhs.astype(np.dtype(dtype))
 
 
 def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
@@ -243,6 +251,8 @@ def warp_affine_pallas(
     dynamically-offset loads far worse than one big static matmul. Keep the
     contraction static.
     """
+    if construction not in ("legacy", "uw", "uw16", "int8"):
+        raise ValueError(f"unknown tap construction {construction!r}")
     B, Hs, Ws, C = images.shape
     Ho, Wo = out_size
     Hs_valid, Ws_valid = Hs, Ws
@@ -347,8 +357,7 @@ def warp_affine_pallas(
 
 
 def _crop_pool_kernel(
-    y0_ref, x0_ref, lvl_ref, fi_ref, img_ref, vp_ref, uwlhs_ref, jxrow_ref,
-    mask_ref, out_ref, strip_ref, sem, *,
+    y0_ref, x0_ref, lvl_ref, fi_ref, img_ref, *rest,
     window: int, H: int, WC: int, C: int, levels: int, y_align: int,
     construction: str = "mxu",
 ):
@@ -373,6 +382,10 @@ def _crop_pool_kernel(
     """
     b = pl.program_id(0)
     WcC = window * C
+    if construction == "legacy":
+        out_ref, strip_ref, sem = rest
+    else:
+        vp_ref, uwlhs_ref, jxrow_ref, mask_ref, out_ref, strip_ref, sem = rest
 
     for l in range(levels):
         rows = window << l
@@ -473,6 +486,8 @@ def crop_window_pool_pallas(
     if WCp != WC:
         frames_flat = jnp.pad(frames_flat, ((0, 0), (0, 0), (0, WCp - WC)))
         WC = WCp
+    if construction not in ("legacy", "mxu"):
+        raise ValueError(f"unknown crop construction {construction!r}")
     if frame_idx is None:
         frame_idx = jnp.arange(y0_l0.shape[0], dtype=jnp.int32)
     N = y0_l0.shape[0]
@@ -482,33 +497,31 @@ def crop_window_pool_pallas(
 
     import numpy as np  # host-side constants
 
-    # Constants for the mxu construction: per-level Vp planes (4⁻ˡ folded —
-    # pow-2 exact, so t1's bf16 rounding is bitwise the legacy value),
-    # per-level U/W LHS with sx>>l baked in, the output-lane x index row,
-    # and the channel-phase mask (level-independent once 4⁻ˡ lives in Vp).
-    vp = np.zeros((levels, window, rows_top), np.float32)
-    for l in range(levels):
-        rr = np.arange(window << l)
-        vp[l, rr >> l, rr] = 0.25 ** l
-    sxv = np.arange(WC, dtype=np.int64) // C
-    uwlhs = np.zeros((levels, 2 * WC, 8), np.float32)
-    for l in range(levels):
-        sxl = (sxv >> l).astype(np.float32)
-        uwlhs[l, :WC, 0] = -1.0
-        uwlhs[l, :WC, 1] = 1.0 + sxl
-        uwlhs[l, WC:, 0] = 1.0
-        uwlhs[l, WC:, 1] = 1.0 - sxl
-    jxrow = (np.arange(WcC, dtype=np.int64) // C).astype(np.float32)[None]
-    mask = (
-        (np.arange(WC, dtype=np.int64) % C)[:, None]
-        == (np.arange(WcC, dtype=np.int64) % C)[None, :]
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(N,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+    # Constants for the mxu construction ONLY (the legacy path must not pay
+    # their VMEM residency/DMA): per-level Vp planes (4⁻ˡ folded — pow-2
+    # exact, so t1's bf16 rounding is bitwise the legacy value), per-level
+    # U/W LHS with sx>>l baked in (_tri_uw_lhs), the output-lane x index
+    # row, and the channel-phase mask (level-independent once 4⁻ˡ is in Vp).
+    extra_ops, extra_specs = [], []
+    if construction == "mxu":
+        vp = np.zeros((levels, window, rows_top), np.float32)
+        for l in range(levels):
+            rr = np.arange(window << l)
+            vp[l, rr >> l, rr] = 0.25 ** l
+        sxv = np.arange(WC, dtype=np.int64) // C
+        uwlhs = np.stack(
+            [_tri_uw_lhs(sxv >> l, jnp.float32) for l in range(levels)]
+        )
+        jxrow = (np.arange(WcC, dtype=np.int64) // C).astype(np.float32)[None]
+        mask = (
+            (np.arange(WC, dtype=np.int64) % C)[:, None]
+            == (np.arange(WcC, dtype=np.int64) % C)[None, :]
+        )
+        extra_ops = [
+            jnp.asarray(vp, frames_flat.dtype), jnp.asarray(uwlhs),
+            jnp.asarray(jxrow), jnp.asarray(mask, jnp.bfloat16),
+        ]
+        extra_specs = [
             pl.BlockSpec((levels, window, rows_top),
                          lambda b, y0, x0, lvl, fi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -519,7 +532,12 @@ def crop_window_pool_pallas(
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((WC, WcC), lambda b, y0, x0, lvl, fi: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=4,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), *extra_specs],
         out_specs=pl.BlockSpec(
             (1, window, WcC), lambda b, y0, x0, lvl, fi: (b, 0, 0),
             memory_space=pltpu.VMEM,
@@ -542,15 +560,12 @@ def crop_window_pool_pallas(
     )
     return out(y0_l0.astype(jnp.int32), x0.astype(jnp.int32),
                level.astype(jnp.int32), frame_idx.astype(jnp.int32),
-               frames_flat, jnp.asarray(vp, frames_flat.dtype),
-               jnp.asarray(uwlhs), jnp.asarray(jxrow),
-               jnp.asarray(mask, jnp.bfloat16))
+               frames_flat, *extra_ops)
 
 
 def _crop_frac_kernel(
     s0_ref, lvl_ref, fi_ref, rfp_ref, offy_ref, x0_ref,
-    img_ref, tlane_ref, uwlhs_ref, jxrow_ref, mask_ref,
-    out_ref, strip_ref, sem, *,
+    img_ref, *rest,
     window: int, H: int, WC: int, C: int, levels: int, y_align: int,
     construction: str = "mxu",
 ):
@@ -578,6 +593,10 @@ def _crop_frac_kernel(
     offy = offy_ref[b].astype(jnp.float32)
     x0 = x0_ref[b].astype(jnp.float32)
     WcC = window * C
+    if construction == "legacy":
+        out_ref, strip_ref, sem = rest
+    else:
+        tlane_ref, uwlhs_ref, jxrow_ref, mask_ref, out_ref, strip_ref, sem = rest
 
     for l in range(levels):
         rows = min(window << l, H)
@@ -699,6 +718,8 @@ def crop_window_frac_pallas(
     rank-2 U/W scheme with host-precomputed index constants — no per-face
     iota/div/mod VPU passes; "legacy" keeps the original construction.
     """
+    if construction not in ("legacy", "mxu"):
+        raise ValueError(f"unknown crop construction {construction!r}")
     B, H, WC = frames_flat.shape
     WCp = -(-WC // 128) * 128
     if WCp != WC:
@@ -713,29 +734,27 @@ def crop_window_frac_pallas(
 
     import numpy as np  # host-side constants
 
-    # Constant planes for the mxu construction (tiny vs the tap planes they
-    # replace): lane-index RHS for V, the U/W LHS with sx = lane//C baked
-    # in for Hx, the output-lane x index row, and the channel-phase mask.
-    tl = np.zeros((8, rows_top), np.float32)
-    tl[0] = np.arange(rows_top, dtype=np.float32)
-    tl[1] = 1.0
-    sxv = (np.arange(WC, dtype=np.int64) // C).astype(np.float32)
-    uwlhs = np.zeros((2 * WC, 8), np.float32)
-    uwlhs[:WC, 0] = -1.0
-    uwlhs[:WC, 1] = 1.0 + sxv
-    uwlhs[WC:, 0] = 1.0
-    uwlhs[WC:, 1] = 1.0 - sxv
-    jxrow = (np.arange(WcC, dtype=np.int64) // C).astype(np.float32)[None]
-    mask = (
-        (np.arange(WC, dtype=np.int64) % C)[:, None]
-        == (np.arange(WcC, dtype=np.int64) % C)[None, :]
-    )
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
-        grid=(N,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pltpu.ANY),
+    # Constant planes for the mxu construction ONLY (the legacy path must
+    # not pay their VMEM residency/DMA): lane-index RHS for V, the U/W LHS
+    # with sx = lane//C baked in for Hx (_tri_uw_lhs), the output-lane x
+    # index row, and the channel-phase mask.
+    extra_ops, extra_specs = [], []
+    if construction == "mxu":
+        tl = np.zeros((8, rows_top), np.float32)
+        tl[0] = np.arange(rows_top, dtype=np.float32)
+        tl[1] = 1.0
+        sxv = np.arange(WC, dtype=np.int64) // C
+        uwlhs = _tri_uw_lhs(sxv, jnp.float32)
+        jxrow = (np.arange(WcC, dtype=np.int64) // C).astype(np.float32)[None]
+        mask = (
+            (np.arange(WC, dtype=np.int64) % C)[:, None]
+            == (np.arange(WcC, dtype=np.int64) % C)[None, :]
+        )
+        extra_ops = [
+            jnp.asarray(tl), jnp.asarray(uwlhs), jnp.asarray(jxrow),
+            jnp.asarray(mask, jnp.bfloat16),
+        ]
+        extra_specs = [
             pl.BlockSpec((8, rows_top),
                          lambda b, s0, lvl, fi, rfp, oy, x0: (0, 0),
                          memory_space=pltpu.VMEM),
@@ -748,7 +767,12 @@ def crop_window_frac_pallas(
             pl.BlockSpec((WC, WcC),
                          lambda b, s0, lvl, fi, rfp, oy, x0: (0, 0),
                          memory_space=pltpu.VMEM),
-        ],
+        ]
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(N,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), *extra_specs],
         out_specs=pl.BlockSpec(
             (1, window, WcC), lambda b, s0, lvl, fi, rfp, oy, x0: (b, 0, 0),
             memory_space=pltpu.VMEM,
@@ -773,5 +797,4 @@ def crop_window_frac_pallas(
     return out(strip0.astype(jnp.int32), level.astype(jnp.int32),
                frame_idx.astype(jnp.int32), rfp,
                off_y.astype(jnp.int32), x0f.astype(jnp.int32),
-               frames_flat, jnp.asarray(tl), jnp.asarray(uwlhs),
-               jnp.asarray(jxrow), jnp.asarray(mask, jnp.bfloat16))
+               frames_flat, *extra_ops)

@@ -584,13 +584,15 @@ def warp_affine_auto(
     matrices: jnp.ndarray,
     out_size: Tuple[int, int],
     inverse: bool = False,
+    tap_construction: str = "legacy",
 ) -> jnp.ndarray:
     """Platform-dispatched warp: Pallas kernel on TPU (11× the XLA gather on
     v5e), exact gather formulation elsewhere (CPU tests, parity checks)."""
     if jax.default_backend() == "tpu":
         from .pallas.warp_kernel import warp_affine_pallas
 
-        return warp_affine_pallas(images, matrices, out_size, inverse=inverse)
+        return warp_affine_pallas(images, matrices, out_size, inverse=inverse,
+                                  construction=tap_construction)
     return warp_affine(images, matrices, out_size, inverse=inverse)
 
 

@@ -112,6 +112,10 @@ def main():
         for tok in args.sweep.split(","):
             tok = tok.strip()
             tok, _, taps = tok.partition("-")
+            if tok[-1] not in ("b", "f"):
+                raise SystemExit(
+                    f"bad sweep token {tok!r}: want <window><b|f>[-taps]"
+                )
             combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy"))
         for window, frac, taps in combos:
             p = FusedPipeline(

@@ -114,6 +114,10 @@ def main():
                         help="fractional-scale windowed crop: per-face bilinear "
                         "resample instead of the 2^l block average — lower crop "
                         "RMSE in every face-size bin (BASELINE.md)")
+    parser.add_argument("--warp-taps", type=str, default="legacy",
+                        choices=["legacy", "uw", "uw16", "int8"],
+                        help="warp-kernel tap construction "
+                        "(ops/pallas/warp_kernel.py; rank-2 MXU modes)")
     args = parser.parse_args()
 
     import jax
@@ -141,6 +145,7 @@ def main():
         int8_tail_start=10 if args.int8_static else None,
         warp_window=args.warp_window,
         warp_fractional=args.warp_fractional,
+        warp_tap_mode=args.warp_taps,
     )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
