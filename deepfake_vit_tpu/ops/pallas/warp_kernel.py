@@ -594,10 +594,18 @@ def _crop_frac_kernel(
     x0 = x0_ref[b].astype(jnp.float32)
     WcC = window * C
     if construction == "legacy":
-        out_ref, strip_ref, sem = rest
+        out_ref, strip_ref, sem, t1_ref = rest
     else:
-        tlane_ref, uwlhs_ref, jxrow_ref, mask_ref, out_ref, strip_ref, sem = rest
+        (tlane_ref, uwlhs_ref, jxrow_ref, mask_ref,
+         out_ref, strip_ref, sem, t1_ref) = rest
+    dt = out_ref.dtype
 
+    # Per-level body: DMA + vertical contraction only. The horizontal tap
+    # build and final matmul are LEVEL-INVARIANT (they depend on x0 and r,
+    # not the bucket), so they run once after the unrolled branches with
+    # t1 carried in scratch — the Mosaic scoped-VMEM stack does not reuse
+    # slots across unrolled bodies, and replicating the largest (WC, WcC)
+    # chain per level tripled stack pressure for nothing.
     for l in range(levels):
         rows = min(window << l, H)
 
@@ -612,7 +620,6 @@ def _crop_frac_kernel(
             )
             cp.start()
             cp.wait()
-            dt = out_ref.dtype
 
             if construction == "legacy":
                 o_i = jax.lax.broadcasted_iota(jnp.int32, (window, rows), 0)
@@ -622,7 +629,7 @@ def _crop_frac_kernel(
                     0.0, 1.0 - jnp.abs(sy - t_i.astype(jnp.float32))
                 ).astype(dt)
             else:
-                # sy is face-dependent → build the (2·window, 2) LHS from
+                # sy is face-dependent → build the (2·window, 8) LHS from
                 # a (window, 1) sublane iota (tiny), shared RHS [[t], [1]].
                 o_col = jax.lax.broadcasted_iota(
                     jnp.float32, (window, 1), 0
@@ -648,54 +655,55 @@ def _crop_frac_kernel(
                     jnp.minimum(UW[:window], UW[window:]),
                     jnp.zeros((), jnp.bfloat16),
                 ).astype(dt)
-            t1 = jax.lax.dot_general(
+            t1_ref[...] = jax.lax.dot_general(
                 V, strip_ref[:rows],
                 dimension_numbers=(((1,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
             ).astype(dt)  # (window, WC)
 
-            if construction == "legacy":
-                s_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 0)
-                j_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 1)
-                sx = s_i // C
-                sc = s_i - sx * C
-                jx = j_i // C
-                jc = j_i - jx * C
-                sxj = x0 + (jx.astype(jnp.float32) + 0.5) * r - 0.5
-                Hx = jnp.where(
-                    sc == jc,
-                    jnp.maximum(
-                        0.0, 1.0 - jnp.abs(sxj - sx.astype(jnp.float32))
-                    ),
-                    0.0,
-                ).astype(dt)
-            else:
-                # U = 1 − sxj + sx, W = 1 + sxj − sx: constant LHS rows
-                # [−1, 1+sx] / [+1, 1−sx] (uwlhs), face-dependent RHS
-                # [[sxj], [1]] from the constant jx row.
-                sxj = x0 + (jxrow_ref[...] + 0.5) * r - 0.5  # (1, WcC)
-                rhs = jnp.concatenate(
-                    [sxj, jnp.ones((1, WcC), jnp.float32),
-                     jnp.zeros((6, WcC), jnp.float32)], axis=0
-                )
-                UWx = jax.lax.dot_general(
-                    uwlhs_ref[...], rhs,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.bfloat16,
-                    precision=jax.lax.Precision.HIGHEST,
-                )
-                Hx = (
-                    jnp.maximum(
-                        jnp.minimum(UWx[:WC], UWx[WC:]),
-                        jnp.zeros((), jnp.bfloat16),
-                    )
-                    * mask_ref[...]
-                ).astype(dt)
-            out_ref[0] = jax.lax.dot_general(
-                t1, Hx,
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            ).astype(out_ref.dtype)
+    t1 = t1_ref[...]
+    if construction == "legacy":
+        s_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 0)
+        j_i = jax.lax.broadcasted_iota(jnp.int32, (WC, WcC), 1)
+        sx = s_i // C
+        sc = s_i - sx * C
+        jx = j_i // C
+        jc = j_i - jx * C
+        sxj = x0 + (jx.astype(jnp.float32) + 0.5) * r - 0.5
+        Hx = jnp.where(
+            sc == jc,
+            jnp.maximum(
+                0.0, 1.0 - jnp.abs(sxj - sx.astype(jnp.float32))
+            ),
+            0.0,
+        ).astype(dt)
+    else:
+        # U = 1 − sxj + sx, W = 1 + sxj − sx: constant LHS rows
+        # [−1, 1+sx] / [+1, 1−sx] (uwlhs), face-dependent RHS
+        # [[sxj], [1]] from the constant jx row.
+        sxj = x0 + (jxrow_ref[...] + 0.5) * r - 0.5  # (1, WcC)
+        rhs = jnp.concatenate(
+            [sxj, jnp.ones((1, WcC), jnp.float32),
+             jnp.zeros((6, WcC), jnp.float32)], axis=0
+        )
+        UWx = jax.lax.dot_general(
+            uwlhs_ref[...], rhs,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.bfloat16,
+            precision=jax.lax.Precision.HIGHEST,
+        )
+        Hx = (
+            jnp.maximum(
+                jnp.minimum(UWx[:WC], UWx[WC:]),
+                jnp.zeros((), jnp.bfloat16),
+            )
+            * mask_ref[...]
+        ).astype(dt)
+    out_ref[0] = jax.lax.dot_general(
+        t1, Hx,
+        dimension_numbers=(((1,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32,
+    ).astype(out_ref.dtype)
 
 
 @partial(jax.jit, static_argnames=("window", "channels", "levels", "y_align",
@@ -780,6 +788,10 @@ def crop_window_frac_pallas(
         scratch_shapes=[
             pltpu.VMEM((rows_top, WC), frames_flat.dtype),
             pltpu.SemaphoreType.DMA,
+            # t1 carries the vertical contraction out of the unrolled
+            # level branches so the horizontal build runs once (see
+            # _crop_frac_kernel).
+            pltpu.VMEM((window, WC), frames_flat.dtype),
         ],
     )
     out = pl.pallas_call(

@@ -239,6 +239,26 @@ def max_window_levels(src_hw: Tuple[int, int], window: int) -> int:
     return levels
 
 
+def _quad_extent(A_inv: jnp.ndarray, out_size: Tuple[int, int]):
+    """Level-0 output-quad extent and center for window geometries.
+
+    Returns (a, b, c, d, e, f, span_x, span_y, cx, cy) — the affine
+    coefficients and the axis-aligned quad bounding-box span/center in
+    source pixels. Shared by window_geometry / window_geometry_frac so
+    the extent convention can never diverge between the two paths."""
+    Ho, Wo = out_size
+    a, b = A_inv[:, 0, 0], A_inv[:, 0, 1]
+    c = A_inv[:, 0, 2]
+    d, e = A_inv[:, 1, 0], A_inv[:, 1, 1]
+    f = A_inv[:, 1, 2]
+    jm, im = float(Wo - 1), float(Ho - 1)
+    span_x = jnp.abs(a) * jm + jnp.abs(b) * im
+    span_y = jnp.abs(d) * jm + jnp.abs(e) * im
+    cx = (a * jm + b * im) * 0.5 + c
+    cy = (d * jm + e * im) * 0.5 + f
+    return a, b, c, d, e, f, span_x, span_y, cx, cy
+
+
 def window_geometry(
     A_inv: jnp.ndarray,
     out_size: Tuple[int, int],
@@ -260,18 +280,8 @@ def window_geometry(
     the quad may exceed the FRAME freely — out-of-frame taps fall outside
     the clipped window and get zero tri-weight, i.e. BORDER_CONSTANT=0.
     """
-    Ho, Wo = out_size
     Hs, Ws = src_hw
-    a, b = A_inv[:, 0, 0], A_inv[:, 0, 1]
-    c = A_inv[:, 0, 2]
-    d, e = A_inv[:, 1, 0], A_inv[:, 1, 1]
-    f = A_inv[:, 1, 2]
-    jm, im = float(Wo - 1), float(Ho - 1)
-
-    span_x = jnp.abs(a) * jm + jnp.abs(b) * im  # quad extent, level 0
-    span_y = jnp.abs(d) * jm + jnp.abs(e) * im
-    cx = (a * jm + b * im) * 0.5 + c  # quad center, level 0
-    cy = (d * jm + e * im) * 0.5 + f
+    a, b, c, d, e, f, span_x, span_y, cx, cy = _quad_extent(A_inv, out_size)
 
     # fits[ℓ] is monotone in ℓ, so level = #{ℓ < L−1 : not fits[ℓ]}.
     # Vertical slack is 2·y_align: the floor-aligned strip start can sit up
@@ -350,20 +360,10 @@ def window_geometry_frac(
     strip start rows, r (B,) f32, off_y (B,) f32 strip-relative start,
     x0f (B,) f32 absolute level-0 x start, A_win (B, 2, 3)).
     """
-    Ho, Wo = out_size
     Hs, Ws = src_hw
     if window % y_align:
         raise ValueError(f"fractional window must be {y_align}-row aligned")
-    a, b = A_inv[:, 0, 0], A_inv[:, 0, 1]
-    c = A_inv[:, 0, 2]
-    d, e = A_inv[:, 1, 0], A_inv[:, 1, 1]
-    f = A_inv[:, 1, 2]
-    jm, im = float(Wo - 1), float(Ho - 1)
-
-    span_x = jnp.abs(a) * jm + jnp.abs(b) * im
-    span_y = jnp.abs(d) * jm + jnp.abs(e) * im
-    cx = (a * jm + b * im) * 0.5 + c
-    cy = (d * jm + e * im) * 0.5 + f
+    a, b, c, d, e, f, span_x, span_y, cx, cy = _quad_extent(A_inv, out_size)
 
     rows_l = [min(window << l, Hs) for l in range(levels)]
     # Quad + one window-px bilinear margin per side + 2 px for the integer
@@ -373,9 +373,13 @@ def window_geometry_frac(
     # the IDENTICAL r.
     r = jnp.maximum(1.0, (jnp.maximum(span_x, span_y) + 2.0) / float(window - 2))
     r = jnp.ceil(r * 65536.0) / 65536.0
-    # The top strip is the full frame (frac_window_levels), whose placement
-    # is fixed at row 0 — no alignment slack needed in the cap.
-    r = jnp.minimum(r, float(rows_l[-1]) / window)
+    # No height-derived cap on r: a quad wider than the frame HEIGHT
+    # (landscape frames) needs window·r > Hs; the top bucket's strip is
+    # the whole frame, so vertical taps outside it are genuine
+    # out-of-frame rows (border 0) and the window may overhang the frame
+    # symmetrically — exactly like the horizontal axis, which never had a
+    # strip to fit. (A height cap here truncated wide in-frame quads
+    # horizontally — review finding, 2026-08-18.)
 
     # Bucket ℓ must hold the fractional window plus alignment slack;
     # bucket 0 (rows == window, start forced to the aligned strip origin)
@@ -402,9 +406,17 @@ def window_geometry_frac(
     strip0 = jnp.stack(strip0s)[level, idx].astype(jnp.float32)
     rows_sel = jnp.asarray(rows_l, jnp.float32)[level]
     # Integer starts keep r == 1 windows bitwise-exact (identity taps);
-    # A_win absorbs the snap, so r > 1 fidelity is unaffected.
+    # A_win absorbs the snap, so r > 1 fidelity is unaffected. When the
+    # fractional window exceeds the strip (window·r > rows_sel, only
+    # possible at the top full-frame bucket), slide so the whole frame
+    # stays covered — min/max ordering like the x axis below.
+    wr_y = window * r
     start_y = jnp.floor(
-        jnp.clip(cy - window * r * 0.5, strip0, strip0 + rows_sel - window * r)
+        jnp.clip(
+            cy - wr_y * 0.5,
+            jnp.minimum(strip0, strip0 + rows_sel - wr_y),
+            jnp.maximum(strip0, strip0 + rows_sel - wr_y),
+        )
     )
     off_y = start_y - strip0
     # Keep the window over the frame when the quad would push it outside
@@ -499,7 +511,20 @@ def warp_affine_windowed(
     """
     B, Hs, Ws, C = images.shape
     N = matrices.shape[0]
-    if levels is None:
+    if fractional:
+        if levels is not None:
+            raise ValueError(
+                "fractional=True derives its strip buckets from the frame "
+                "height (frac_window_levels); levels= is not supported"
+            )
+        if Hs % 16:
+            # The 16-aligned strip start (bf16 sublane tile, shared by the
+            # XLA path for backend-identical crops) cannot otherwise reach
+            # the bottom Hs%16 rows — pad with zero rows, which sample as
+            # border 0 exactly (point taps; review finding, 2026-08-18).
+            images = jnp.pad(images, ((0, 0), (0, -Hs % 16), (0, 0), (0, 0)))
+            Hs += -Hs % 16
+    elif levels is None:
         levels = max_window_levels((Hs, Ws), window)
     if min(Hs, Ws) < window:
         raise ValueError(f"window {window} exceeds source {Hs}×{Ws}")

@@ -74,6 +74,11 @@ def test_two_process_cpu_bootstrap(tmp_path):
             DFV_PROCESS_ID=str(pid),
         )
         env.pop("JAX_PLATFORM_ALLOW_UNRECOGNIZED", None)
+        # Pure-CPU subprocess: the ambient PALLAS_AXON_POOL_IPS makes the
+        # sitecustomize axon.register call run at import, which blocks jax
+        # backend init for minutes when the TPU tunnel is busy/wedged —
+        # regardless of JAX_PLATFORMS=cpu (CLAUDE.md round-3 lessons).
+        env.pop("PALLAS_AXON_POOL_IPS", None)
         procs.append(
             subprocess.Popen(
                 [sys.executable, "-c", _WORKER],

@@ -185,3 +185,66 @@ def test_fractional_covers_giant_faces():
     interior_full = full[:, 64:160, 64:160]
     interior_frac = frac[:, 64:160, 64:160]
     assert (interior_frac[interior_full > 10.0] > 0).all()
+
+
+def test_fractional_wide_quad_on_landscape_frame():
+    """Regression (review, 2026-08-18): r was capped by frame HEIGHT for
+    both axes, so a quad wider than the frame height on a landscape frame
+    lost real in-frame columns. The horizontal axis never had a strip to
+    fit — the window may overhang vertically (out-of-frame rows are
+    border 0, exactly like the exact warp)."""
+    rng = np.random.default_rng(3)
+    H, W, window = 128, 256, 32
+    img = _smooth_images(rng, 2, W, factor=16)[:, :H] + 20.0
+    # In-frame quad ~200 px wide (> H): dst→src scale 200/223 horizontal.
+    A_inv = np.asarray(
+        [[[200 / 223.0, 0.0, 28.0], [0.0, 80 / 223.0, 24.0]]] * 2,
+        np.float32,
+    )
+    full = np.asarray(warp_affine(img, jnp.asarray(A_inv), (224, 224),
+                                  inverse=True))
+    frac = np.asarray(
+        warp_affine_windowed(img, jnp.asarray(A_inv), (224, 224),
+                             window=window, fractional=True, inverse=True)
+    )
+    err = frac - full
+    assert np.sqrt((err ** 2).mean()) < 25.0
+    # The right half of the quad (x > 128 = frame height) must be covered.
+    right = full[:, :, 140:200]
+    assert (frac[:, :, 140:200][right > 10.0] > 0).all()
+
+
+def test_fractional_bottom_rows_on_hs_mod8_frame():
+    """Regression (review, 2026-08-18): the 16-aligned strip start could
+    not reach the bottom Hs%16 rows on Hs ≡ 8 (mod 16) frames — a
+    bottom-edge face lost real rows. The wrapper now zero-pads the frame
+    to the 16-row tile (point taps sample pads as border 0 exactly)."""
+    rng = np.random.default_rng(4)
+    H, W, window = 136, 128, 32
+    img = _smooth_images(rng, 2, max(H, W), factor=16)[:, :H, :W] + 20.0
+    # Face hugging the bottom edge: quad rows ~[100, 134].
+    A_inv = np.asarray(
+        [[[34 / 223.0, 0.0, 40.0], [0.0, 34 / 223.0, 100.0]]] * 2,
+        np.float32,
+    )
+    full = np.asarray(warp_affine(img, jnp.asarray(A_inv), (224, 224),
+                                  inverse=True))
+    frac = np.asarray(
+        warp_affine_windowed(img, jnp.asarray(A_inv), (224, 224),
+                             window=window, fractional=True, inverse=True)
+    )
+    err = frac - full
+    assert np.sqrt((err ** 2).mean()) < 25.0
+    # Bottom-of-quad output rows (near the frame's last rows) stay real.
+    bottom = full[:, 200:, :]
+    assert (frac[:, 200:, :][bottom > 10.0] > 0).all()
+
+
+def test_fractional_levels_param_rejected():
+    import pytest as _pytest
+
+    img = jnp.zeros((1, 64, 64, 3), jnp.float32)
+    M = jnp.asarray([[[1.0, 0.0, 0.0], [0.0, 1.0, 0.0]]], jnp.float32)
+    with _pytest.raises(ValueError, match="levels"):
+        warp_affine_windowed(img, M, (24, 24), window=32, levels=2,
+                             fractional=True)
