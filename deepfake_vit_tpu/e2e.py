@@ -57,6 +57,8 @@ class FusedPipeline:
         int8_tail_start: Optional[int] = None,
         int8_act_scales: Optional[list] = None,
         use_s2d_early: bool = False,
+        use_int8_detector: bool = False,
+        det_act_scales: Optional[Dict[str, float]] = None,
         keep_top_k: int = 1,
         nms_threshold: float = 0.4,
         compute_quality: bool = True,
@@ -106,6 +108,12 @@ class FusedPipeline:
         # removes the per-matmul max-abs reduction + standalone quantize
         # pass of the dynamic scheme. None → dynamic per-image scales.
         self.int8_act_scales = int8_act_scales
+        # Int8 detector graph (models/scrfd_int8.py): the SCRFD 3×3 convs
+        # as s8×s8→s32 MXU convolutions — parity-gated in
+        # tests/test_scrfd_int8.py. det_act_scales: static calibrated
+        # activation scales (calibrate_int8_detector below); None → dynamic.
+        self.use_int8_detector = use_int8_detector
+        self.det_act_scales = det_act_scales
         # Quality scoring costs ~3 ms at b128; the reference's inference
         # path (predict, task.ipynb cell 16) runs NO quality check — this
         # flag is the parity-defensible max-throughput knob. Default ON to
@@ -178,6 +186,33 @@ class FusedPipeline:
         )
         self.forward = jax.jit(self._graph)
         return self.int8_act_scales
+
+    def calibrate_int8_detector(self, det_vars, frames, batch_size: int = 32):
+        """Calibrate static int8 activation scales for the detector.
+
+        ``frames``: (N, *serving_size, 3) RGB [0, 255] representative
+        SERVING frames — they go through the same pooling + normalization
+        the graph applies, so the calibration sees the exact canvas
+        tensors. Stores the scales and re-jits ``forward``.
+        """
+        from .models.scrfd import fold_stem_pool_params
+        from .models.scrfd_int8 import calibrate_det_act_scales
+
+        if not self.use_int8_detector:
+            raise ValueError("calibrate_int8_detector requires use_int8_detector=True")
+        frames = jnp.asarray(frames).astype(self.dtype)
+        canvas = frames
+        while canvas.shape[1] > self.input_size[0] * self._stem_fold:
+            canvas = _avg_pool2(canvas)
+        x = (canvas - 127.5) / 128.0
+        dv = fold_stem_pool_params(det_vars, self._stem_fold)
+        self.det_act_scales = calibrate_det_act_scales(
+            dv,
+            [x[i : i + batch_size] for i in range(0, x.shape[0], batch_size)],
+            stem_pool=self._stem_fold,
+        )
+        self.forward = jax.jit(self._graph)
+        return self.det_act_scales
 
     def make_sharded(self, mesh):
         """Jit the pipeline over a mesh: frames sharded on 'data', weights
@@ -280,7 +315,16 @@ class FusedPipeline:
         #    best-face semantics) needs only an argmax; K > 1 takes the
         #    top-M candidates through the fixed-size NMS.
         x = (det_frames - 127.5) / 128.0
-        if self._stem_fold > 1:
+        if self.use_int8_detector:
+            from .models.scrfd import fold_stem_pool_params
+            from .models.scrfd_int8 import ScrfdInt8Runner
+
+            dv = fold_stem_pool_params(det_vars, self._stem_fold)
+            outs = ScrfdInt8Runner(
+                dv, stem_pool=self._stem_fold,
+                act_scales=self.det_act_scales, dtype=self.dtype,
+            )(x)
+        elif self._stem_fold > 1:
             from .models.scrfd import fold_stem_pool_params
 
             outs = self.detector_folded.apply(

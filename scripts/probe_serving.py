@@ -43,14 +43,21 @@ def main():
                     choices=["legacy", "uw", "uw16", "int8"],
                     help="warp-kernel tap construction "
                     "(ops/pallas/warp_kernel.py)")
+    ap.add_argument("--int8-detector", action="store_true",
+                    help="run the SCRFD forward as s8×s8→s32 MXU convs "
+                    "(models/scrfd_int8.py), dynamic activation scales")
+    ap.add_argument("--det-static", action="store_true",
+                    help="with --int8-detector: static calibrated activation "
+                    "scales (removes the per-conv max-abs + quantize passes)")
     ap.add_argument("--sweep", type=str, default=None,
                     help="same-process warp-config sweep: comma-separated "
-                    "<window><b|f>[-taps] combos, e.g. "
-                    "'160b,160f,128f-uw16,128b' "
-                    "(b = 2^l block average, f = fractional taps). Each combo "
-                    "is a fresh FusedPipeline sharing the loaded weights and "
-                    "the one int8 calibration; timed under the one-process "
-                    "control protocol of BASELINE.md round-3 tables")
+                    "<window><b|f>[-taps][+d] combos, e.g. "
+                    "'160b,160f,128f-uw16,160b+d' "
+                    "(b = 2^l block average, f = fractional taps; +d = int8 "
+                    "detector, static scales). Each combo is a fresh "
+                    "FusedPipeline sharing the loaded weights and the one "
+                    "int8 calibration; timed under the one-process control "
+                    "protocol of BASELINE.md round-3 tables")
     args = ap.parse_args()
 
     import jax
@@ -77,7 +84,9 @@ def main():
         warp_window=args.warp_window,
         warp_fractional=args.warp_fractional,
         warp_tap_mode=args.warp_taps,
+        use_int8_detector=args.int8_detector,
     )
+    det_scales = None
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         det_vars, model_vars = pipe.load_variables(jax.random.PRNGKey(0))
@@ -91,6 +100,21 @@ def main():
             ).astype(np.float32)
             pipe.calibrate_int8(model_vars, faces, batch_size=8)
             print(f"calibrated static int8 scales in "
+                  f"{time.perf_counter()-t_cal:.1f} s", file=sys.stderr)
+        if args.det_static or (args.sweep and "+d" in args.sweep):
+            t_cal = time.perf_counter()
+            cal_frames = np.random.default_rng(2).uniform(
+                0, 255, (4, *pipe.serving_size, 3)
+            ).astype(np.float32)
+            cal = FusedPipeline(
+                model_config, detection_input_size=(320, 320),
+                serving_size=(640, 640), use_int8_detector=True,
+            )
+            det_scales = cal.calibrate_int8_detector(det_vars, cal_frames)
+            if args.det_static:
+                pipe.det_act_scales = det_scales
+                pipe.forward = jax.jit(pipe._graph)
+            print(f"calibrated static int8 DETECTOR scales in "
                   f"{time.perf_counter()-t_cal:.1f} s", file=sys.stderr)
     det_vars, model_vars = jax.device_put((det_vars, model_vars), dev)
 
@@ -111,13 +135,17 @@ def main():
         combos = []
         for tok in args.sweep.split(","):
             tok = tok.strip()
+            int8_det = tok.endswith("+d")
+            if int8_det:
+                tok = tok[:-2]
             tok, _, taps = tok.partition("-")
             if tok[-1] not in ("b", "f"):
                 raise SystemExit(
-                    f"bad sweep token {tok!r}: want <window><b|f>[-taps]"
+                    f"bad sweep token {tok!r}: want <window><b|f>[-taps][+d]"
                 )
-            combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy"))
-        for window, frac, taps in combos:
+            combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy",
+                           int8_det))
+        for window, frac, taps, int8_det in combos:
             p = FusedPipeline(
                 model_config, detection_input_size=(320, 320),
                 serving_size=(640, 640), confidence_threshold=0.0,
@@ -126,12 +154,14 @@ def main():
                 int8_act_scales=pipe.int8_act_scales,
                 warp_window=window, warp_fractional=frac,
                 warp_tap_mode=taps,
+                use_int8_detector=int8_det, det_act_scales=det_scales,
             )
+            label = (f"w{window}{'frac' if frac else 'block'}-{taps}"
+                     f"{'+int8det' if int8_det else ''}")
             t_c0 = time.perf_counter()
             out = p.forward(det_vars, model_vars, frames)
             _sync(out)
-            print(f"  w{window}{'frac' if frac else 'block'}-{taps} "
-                  f"compile+run {time.perf_counter() - t_c0:.1f} s",
+            print(f"  {label} compile+run {time.perf_counter() - t_c0:.1f} s",
                   file=sys.stderr)
             for _ in range(args.warmup - 1):
                 _sync(p.forward(det_vars, model_vars, frames))
@@ -140,8 +170,7 @@ def main():
                 out = p.forward(det_vars, model_vars, frames)
             _sync(out)
             t = (time.perf_counter() - t0) / args.iters
-            print(f"e2e b{args.batch} w{window} "
-                  f"{'frac' if frac else 'block'}-{taps}: "
+            print(f"e2e b{args.batch} {label}: "
                   f"{args.batch / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
         return
 
