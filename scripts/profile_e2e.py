@@ -90,6 +90,40 @@ def main():
     t = _time_fn(detect_j, det_vars, det_frames)
     report("detect_320", t)
     conf, bbox, lms = detect_j(det_vars, det_frames)
+
+    # stage 1b: same detect with the int8 graph (models/scrfd_int8.py),
+    # static calibrated scales — isolates the s8-conv gain from the e2e A/B.
+    from deepfake_vit_tpu.models.scrfd_int8 import (
+        ScrfdInt8Runner, calibrate_det_act_scales,
+    )
+
+    det_norm = (det_frames - 127.5) / 128.0
+    with jax.default_device(cpu):
+        det_scales = calibrate_det_act_scales(
+            jax.device_get(det_vars), [np.asarray(det_norm[:8], np.float32)]
+        )
+
+    def detect_int8(dv, df):
+        # Identical decode+select tail to `detect`; only the network differs.
+        x = (df - 127.5) / 128.0
+        outs = ScrfdInt8Runner(dv, act_scales=det_scales)(x)
+        scores = jnp.concatenate([jax.nn.sigmoid(outs[s]["scores"]) for s in STRIDES], axis=1)
+        dist = jnp.concatenate([outs[s]["bbox"] for s in STRIDES], axis=1)
+        kps = jnp.concatenate([outs[s]["kps"] for s in STRIDES], axis=1)
+        from deepfake_vit_tpu.ops.anchors import decode_boxes, decode_landmarks
+        best = jnp.argmax(scores, axis=1)
+        conf = jnp.take_along_axis(scores, best[:, None], axis=1)[:, 0]
+        boxes = decode_boxes(pipe._centers, pipe._strides, dist)
+        landmarks = decode_landmarks(pipe._centers, pipe._strides, kps)
+        bbox = jnp.take_along_axis(boxes, best[:, None, None], axis=1)[:, 0]
+        lms = jnp.take_along_axis(landmarks, best[:, None, None, None], axis=1)[:, 0]
+        return conf, bbox, lms
+
+    try:
+        t = _time_fn(jax.jit(detect_int8), det_vars, det_frames)
+        report("detect_320_int8", t)
+    except Exception as e:  # s8 convs may not lower on every backend
+        print(f"detect_320_int8: failed ({type(e).__name__}: {e})", file=sys.stderr)
     lms_s = lms * 2 + 0.5
 
     # stage 2: umeyama + windowed warp from 640²
