@@ -118,6 +118,10 @@ def main():
                         choices=["legacy", "uw", "uw16", "int8"],
                         help="warp-kernel tap construction "
                         "(ops/pallas/warp_kernel.py; rank-2 MXU modes)")
+    parser.add_argument("--int8-detector", action="store_true",
+                        help="serve the SCRFD forward as s8×s8→s32 MXU convs "
+                        "with static calibrated scales (models/scrfd_int8.py, "
+                        "parity-gated in tests/test_scrfd_int8.py)")
     args = parser.parse_args()
 
     import jax
@@ -146,6 +150,7 @@ def main():
         warp_window=args.warp_window,
         warp_fractional=args.warp_fractional,
         warp_tap_mode=args.warp_taps,
+        use_int8_detector=args.int8_detector,
     )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
@@ -169,6 +174,18 @@ def main():
                 ])
             logger.info("calibrating static int8 scales (CPU backend)")
             pipe.calibrate_int8(model_vars, faces, batch_size=8)
+        if args.int8_detector:
+            import numpy as _np3
+
+            from deepfake_vit_tpu.data.synth_faces import render_scene
+
+            logger.info("calibrating static int8 DETECTOR scales (CPU backend)")
+            _rng3 = _np3.random.default_rng(2)
+            cal_frames = _np3.stack([
+                render_scene(_rng3, size=serving, max_faces=2, p_empty=0.0)[0]
+                for _ in range(4)
+            ]).astype(_np3.float32)
+            pipe.calibrate_int8_detector(det_vars, cal_frames)
     det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
 
     mesh = data_parallel_mesh()
