@@ -179,3 +179,42 @@ def test_pipeline_int8_detector_integration():
     assert _iou(out_b["bbox"][hit], out_q["bbox"][hit]).min() > 0.85
     # Classify runs on near-identical crops → probabilities stay close.
     assert np.abs(out_b["probs"] - out_q["probs"]).max() < 0.08
+
+
+@pytest.mark.slow
+def test_pipeline_int8_detector_sharded():
+    """The int8 detector graph shards over the data axis like the bf16 one
+    (run_pipeline serves through make_sharded): same outputs as plain jit
+    on an 8-device virtual mesh."""
+    from deepfake_vit_tpu.e2e import FusedPipeline
+    from deepfake_vit_tpu.parallel import data_parallel_mesh
+
+    cfg = {"model": {"backbone": {"variant": "b0"}, "num_classes": 2}}
+    pipe = FusedPipeline(
+        cfg,
+        detection_input_size=(160, 160),
+        output_size=(224, 224),
+        confidence_threshold=0.3,
+        use_int8_detector=True,
+        dtype=jnp.bfloat16,
+    )
+    rng = np.random.default_rng(777)
+    frames = np.stack(
+        [
+            render_scene(rng, size=160, max_faces=1, min_face=48, max_face=110,
+                         p_empty=0.0)[0]
+            for _ in range(8)
+        ]
+    ).astype(np.float32)
+    det_vars, model_vars = pipe.load_variables(jax.random.PRNGKey(0))
+    pipe.calibrate_int8_detector(det_vars, frames)
+
+    mesh = data_parallel_mesh()
+    assert mesh.devices.size == 8, "conftest should provide 8 virtual devices"
+    sharded = pipe.make_sharded(mesh)
+    out_j = jax.device_get(pipe.forward(det_vars, model_vars, frames))
+    out_s = jax.device_get(sharded(det_vars, model_vars, frames))
+    assert (out_j["has_face"] == out_s["has_face"]).all()
+    np.testing.assert_allclose(
+        out_s["fake_prob"], out_j["fake_prob"], atol=1e-2
+    )
