@@ -146,32 +146,40 @@ def main():
             combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy",
                            int8_det))
         for window, frac, taps, int8_det in combos:
-            p = FusedPipeline(
-                model_config, detection_input_size=(320, 320),
-                serving_size=(640, 640), confidence_threshold=0.0,
-                use_int8_tail=not args.no_int8,
-                int8_tail_start=args.int8_start,
-                int8_act_scales=pipe.int8_act_scales,
-                warp_window=window, warp_fractional=frac,
-                warp_tap_mode=taps,
-                use_int8_detector=int8_det, det_act_scales=det_scales,
-            )
             label = (f"w{window}{'frac' if frac else 'block'}-{taps}"
                      f"{'+int8det' if int8_det else ''}")
-            t_c0 = time.perf_counter()
-            out = p.forward(det_vars, model_vars, frames)
-            _sync(out)
-            print(f"  {label} compile+run {time.perf_counter() - t_c0:.1f} s",
-                  file=sys.stderr)
-            for _ in range(args.warmup - 1):
-                _sync(p.forward(det_vars, model_vars, frames))
-            t0 = time.perf_counter()
-            for _ in range(args.iters):
+            # Fail-soft per combo: a Mosaic lowering rejection (e.g. an s8
+            # dot an older toolchain can't emit) must not kill the rest of
+            # an unattended sweep.
+            try:
+                p = FusedPipeline(
+                    model_config, detection_input_size=(320, 320),
+                    serving_size=(640, 640), confidence_threshold=0.0,
+                    use_int8_tail=not args.no_int8,
+                    int8_tail_start=args.int8_start,
+                    int8_act_scales=pipe.int8_act_scales,
+                    warp_window=window, warp_fractional=frac,
+                    warp_tap_mode=taps,
+                    use_int8_detector=int8_det, det_act_scales=det_scales,
+                )
+                t_c0 = time.perf_counter()
                 out = p.forward(det_vars, model_vars, frames)
-            _sync(out)
-            t = (time.perf_counter() - t0) / args.iters
-            print(f"e2e b{args.batch} {label}: "
-                  f"{args.batch / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
+                _sync(out)
+                print(f"  {label} compile+run {time.perf_counter() - t_c0:.1f} s",
+                      file=sys.stderr)
+                for _ in range(args.warmup - 1):
+                    _sync(p.forward(det_vars, model_vars, frames))
+                t0 = time.perf_counter()
+                for _ in range(args.iters):
+                    out = p.forward(det_vars, model_vars, frames)
+                _sync(out)
+                t = (time.perf_counter() - t0) / args.iters
+                print(f"e2e b{args.batch} {label}: "
+                      f"{args.batch / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
+            except Exception as e:
+                msg = str(e).splitlines()[0][:200] if str(e) else ""
+                print(f"e2e b{args.batch} {label}: FAILED "
+                      f"({type(e).__name__}: {msg})")
         return
 
     fwd = pipe.forward

@@ -82,9 +82,16 @@ def main():
         Ms[:, :, 2] = 4.0
         A = jnp.asarray(Ms)
         for mode in ("legacy", "uw", "uw16", "int8"):
-            ms = _time(warp_affine_pallas, crops, A, (224, 224),
-                       inverse=True, construction=mode)
-            print(f"warp_affine_pallas b{N} w{w} {mode}: {ms:.2f} ms")
+            # Fail-soft: a Mosaic rejection of one construction (the int8
+            # s8-dot is toolchain-dependent) must not kill the sweep.
+            try:
+                ms = _time(warp_affine_pallas, crops, A, (224, 224),
+                           inverse=True, construction=mode)
+                print(f"warp_affine_pallas b{N} w{w} {mode}: {ms:.2f} ms")
+            except Exception as e:
+                msg = str(e).splitlines()[0][:160] if str(e) else ""
+                print(f"warp_affine_pallas b{N} w{w} {mode}: FAILED "
+                      f"({type(e).__name__}: {msg})")
 
     if not args.skip_crop:
         H = W = 640
@@ -107,9 +114,14 @@ def main():
         x0_sel = jnp.stack(x0s)[level, jnp.arange(N)]
         y0_l0 = jnp.left_shift(jnp.stack(y0s)[level, jnp.arange(N)], level)
         for mode in ("legacy", "mxu"):
-            ms = _time(crop_window_pool_pallas, frames, y0_l0, x0_sel,
-                       level, w, 3, levels, y_align=16, construction=mode)
-            print(f"crop_pool b{N} w{w} {mode}: {ms:.2f} ms")
+            try:
+                ms = _time(crop_window_pool_pallas, frames, y0_l0, x0_sel,
+                           level, w, 3, levels, y_align=16, construction=mode)
+                print(f"crop_pool b{N} w{w} {mode}: {ms:.2f} ms")
+            except Exception as e:
+                msg = str(e).splitlines()[0][:160] if str(e) else ""
+                print(f"crop_pool b{N} w{w} {mode}: FAILED "
+                      f"({type(e).__name__}: {msg})")
 
         levels_f = frac_window_levels(H, w)
         lvl, strip0s, r, off_y, x0f, _ = window_geometry_frac(
@@ -117,10 +129,15 @@ def main():
         )
         strip0 = strip0s[lvl, jnp.arange(N)]
         for mode in ("legacy", "mxu"):
-            ms = _time(crop_window_frac_pallas, frames, strip0, lvl, r,
-                       off_y, x0f, w, 3, levels_f, y_align=16,
-                       construction=mode)
-            print(f"crop_frac b{N} w{w} {mode}: {ms:.2f} ms")
+            try:
+                ms = _time(crop_window_frac_pallas, frames, strip0, lvl, r,
+                           off_y, x0f, w, 3, levels_f, y_align=16,
+                           construction=mode)
+                print(f"crop_frac b{N} w{w} {mode}: {ms:.2f} ms")
+            except Exception as e:
+                msg = str(e).splitlines()[0][:160] if str(e) else ""
+                print(f"crop_frac b{N} w{w} {mode}: FAILED "
+                      f"({type(e).__name__}: {msg})")
 
 
 if __name__ == "__main__":
