@@ -306,3 +306,57 @@ def test_multi_face_fractional_frame_indices(rng):
     assert out["probs"].shape == (3, 3, 2)
     assert np.all(np.isfinite(out["probs"]))
     assert out["face_valid"].shape == (3, 3)
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("frac,taps", [
+    (False, "uw16"), (False, "int8"), (True, "uw16"), (True, "int8"),
+])
+def test_serving_combo_pallas_interpret(rng, monkeypatch, frac, taps):
+    """The on-chip sweep's tap-mode combos (probe_serving --sweep), composed
+    through the FULL FusedPipeline with the pallas windowed-warp path forced
+    (interpret mode) — the kernels are unit-parity-tested in
+    tests/test_pallas_warp.py, but only this composition exercises the
+    serving dtype chain (uint8 frames -> bf16 crops -> tap-mode warp) the
+    tunnel would otherwise compile blind."""
+    from functools import partial
+
+    from jax.experimental.pallas import tpu as pltpu
+
+    import deepfake_vit_tpu.e2e as e2e_mod
+    from deepfake_vit_tpu.ops.warp import warp_affine_windowed
+
+    model_cfg = {
+        "model": {
+            "feature_extractor": {"variant": "b0", "dropout_rate": 0.0},
+            "classifier": {"hidden_dims": [16], "num_classes": 2},
+        }
+    }
+    common = dict(
+        detection_input_size=(128, 128),
+        serving_size=(256, 256),
+        output_size=(64, 64),
+        warp_window=160,
+        confidence_threshold=0.0,
+        dtype=jnp.float32,
+        warp_fractional=frac,
+    )
+    frames = jnp.asarray(rng.uniform(0, 255, (3, 256, 256, 3)), jnp.float32)
+
+    ref_pipe = FusedPipeline(model_cfg, **common)  # XLA fallback warp
+    det_vars, model_vars = ref_pipe.init_variables(jax.random.PRNGKey(0))
+    ref = jax.device_get(ref_pipe.forward(det_vars, model_vars, frames))
+
+    monkeypatch.setattr(
+        e2e_mod, "warp_affine_windowed",
+        partial(warp_affine_windowed, use_pallas=True),
+    )
+    pipe = FusedPipeline(model_cfg, warp_tap_mode=taps, **common)
+    with pltpu.force_tpu_interpret_mode():
+        out = jax.device_get(pipe.forward(det_vars, model_vars, frames))
+
+    # Detection precedes the warp: identical. Classify sees bf16-kernel
+    # crops instead of the f32 XLA warp: near-identical probabilities.
+    np.testing.assert_allclose(out["bbox"], ref["bbox"], atol=1e-3)
+    assert np.all(np.isfinite(out["probs"]))
+    assert np.abs(out["probs"] - ref["probs"]).max() < 0.1
