@@ -103,6 +103,37 @@ def main():
           f"serving 640² / detect 320² / static-int8 tail from stage 3 / "
           f"window 160)", file=sys.stderr)
 
+    # The headline JSON contract is settled HERE, before any secondary
+    # probe, so a failure/hang below can never cost the recorded number.
+    print(json.dumps({
+        "metric": "end_to_end_faces_per_sec_per_chip",
+        "value": round(e2e_fps, 1),
+        "unit": "faces/sec/chip",
+        "vs_baseline": round(e2e_fps / BASELINE_FACES_PER_SEC, 3),
+    }), flush=True)
+
+    # Gated-candidate probe (stderr only): the fidelity-cleared
+    # w128-fractional crop + rank-2 uw16 tap construction (BASELINE.md
+    # round-3 continuation: RMSE beats the w160-block headline in the
+    # large-face bins, ties taps; on-chip timing pending the tunnel).
+    # Measured here fail-soft so every real-hardware bench run records it.
+    try:
+        cand = FusedPipeline(model_config, detection_input_size=det_size,
+                             serving_size=serving, confidence_threshold=0.0,
+                             use_int8_tail=True, int8_tail_start=10,
+                             int8_act_scales=pipe.int8_act_scales,
+                             warp_window=128, warp_fractional=True,
+                             warp_tap_mode="uw16")
+        t_c = _time_fn(cand.forward, det_vars, model_vars, frames,
+                       iters=10, warmup=2)
+        print(f"candidate e2e (w128-frac, uw16 taps): {batch / t_c:.1f} faces/s "
+              f"({t_c*1e3:.2f} ms/step)", file=sys.stderr)
+        del cand
+    except Exception as e:  # candidate only — never kill the bench
+        msg = str(e).splitlines()[0][:160] if str(e) else ""
+        print(f"candidate e2e (w128-frac, uw16 taps): failed "
+              f"({type(e).__name__}: {msg})", file=sys.stderr)
+
     if "--full" in sys.argv:
         import gc
 
@@ -215,13 +246,6 @@ def main():
         t_tr = (time.perf_counter() - t0) / 10
         print(f"train-step: {64 / t_tr:.1f} samples/s ({t_tr*1e3:.2f} ms / batch 64)",
               file=sys.stderr)
-
-    print(json.dumps({
-        "metric": "end_to_end_faces_per_sec_per_chip",
-        "value": round(e2e_fps, 1),
-        "unit": "faces/sec/chip",
-        "vs_baseline": round(e2e_fps / BASELINE_FACES_PER_SEC, 3),
-    }))
 
 
 if __name__ == "__main__":
