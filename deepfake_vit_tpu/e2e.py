@@ -62,6 +62,7 @@ class FusedPipeline:
         keep_top_k: int = 1,
         nms_threshold: float = 0.4,
         compute_quality: bool = True,
+        detector_arch: str = "scrfd",
     ):
         """serving_size decouples the FRAME resolution from the detection
         canvas: frames enter at serving_size, are average-pooled by the
@@ -77,8 +78,16 @@ class FusedPipeline:
         the top-K NMS survivors are each aligned/scored/classified; outputs
         gain a faces axis (B, K, ...) with a ``face_valid`` mask. K == 1
         keeps the reference's best-face semantics and the flat (B, ...)
-        output contract."""
-        self.detector = ScrfdDetector(dtype=dtype)
+        output contract.
+
+        detector_arch selects the detection family: "scrfd" (production)
+        or "lite" (S2D-Lite, models/lite_detector.py — the TPU-first
+        ultra-light net; same output contract, decode/NMS machinery, and
+        acceptance bars, own trained weights)."""
+        from .preprocessing.detector import build_detection_net
+
+        self.detector_arch = detector_arch
+        self.detector = build_detection_net(detector_arch, dtype=dtype)
         self.model = create_model_from_config(model_config.get("model", {}), dtype=dtype)
         self.dtype = dtype
         self.input_size = tuple(detection_input_size)
@@ -112,6 +121,8 @@ class FusedPipeline:
         # as s8×s8→s32 MXU convolutions — parity-gated in
         # tests/test_scrfd_int8.py. det_act_scales: static calibrated
         # activation scales (calibrate_int8_detector below); None → dynamic.
+        if use_int8_detector and detector_arch != "scrfd":
+            raise ValueError("use_int8_detector supports the scrfd family only")
         self.use_int8_detector = use_int8_detector
         self.det_act_scales = det_act_scales
         # Quality scoring costs ~3 ms at b128; the reference's inference
@@ -142,7 +153,14 @@ class FusedPipeline:
         # pooling pass (~8 ms at B=128·640² — 3/128 lane utilization).
         self._stem_fold = 2 if ratio >= 2 else 1
         if self._stem_fold > 1:
-            self.detector_folded = ScrfdDetector(dtype=dtype, stem_pool=self._stem_fold)
+            if detector_arch == "lite":
+                from .models.lite_detector import LiteDetector
+
+                self.detector_folded = LiteDetector(
+                    dtype=dtype, stem_pool=self._stem_fold)
+            else:
+                self.detector_folded = ScrfdDetector(
+                    dtype=dtype, stem_pool=self._stem_fold)
         self.output_size = tuple(output_size)
         self.confidence_threshold = confidence_threshold
 
@@ -268,7 +286,8 @@ class FusedPipeline:
         """Init then overlay trained weights (framework .ckpt files).
 
         ``detector_weights="default"`` loads the committed in-framework-
-        trained SCRFD weights when present (pass None to keep random init).
+        trained weights for the pipeline's detector family when present
+        (pass None to keep random init).
         """
         from flax import serialization
 
@@ -276,7 +295,7 @@ class FusedPipeline:
         from .utils.io_utils import load_checkpoint
 
         if detector_weights == "default":
-            detector_weights = default_weights_path()
+            detector_weights = default_weights_path(self.detector_arch)
         det_vars, model_vars = self.init_variables(rng)
         if classifier_checkpoint:
             ckpt = load_checkpoint(classifier_checkpoint)
@@ -325,10 +344,13 @@ class FusedPipeline:
                 act_scales=self.det_act_scales, dtype=self.dtype,
             )(x)
         elif self._stem_fold > 1:
-            from .models.scrfd import fold_stem_pool_params
+            if self.detector_arch == "lite":
+                from .models.lite_detector import fold_stem_pool_params_lite as _fold
+            else:
+                from .models.scrfd import fold_stem_pool_params as _fold
 
             outs = self.detector_folded.apply(
-                fold_stem_pool_params(det_vars, self._stem_fold), x, train=False
+                _fold(det_vars, self._stem_fold), x, train=False
             )
         else:
             outs = self.detector.apply(det_vars, x, train=False)

@@ -34,6 +34,7 @@ DEFAULT_WEIGHTS_BY_MODEL = {
     "scrfd": DEFAULT_WEIGHTS,
     "mtcnn": _WEIGHTS_DIR / "mtcnn_lite_synface.msgpack",
     "hog": _WEIGHTS_DIR / "hog_synface.msgpack",
+    "lite": _WEIGHTS_DIR / "lite_synface.msgpack",
 }
 
 
@@ -53,6 +54,10 @@ def build_detection_net(model: str = "scrfd", dtype=jnp.float32):
         from ..models.mtcnn_lite import MtcnnLiteDetector
 
         return MtcnnLiteDetector(dtype=dtype)
+    if model == "lite":
+        from ..models.lite_detector import LiteDetector
+
+        return LiteDetector(dtype=dtype)
     raise ValueError(f"unknown detector model: {model}")
 
 

@@ -74,10 +74,12 @@ def main():
     parser.add_argument("--epochs", type=int, default=50)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--model", type=str, default="scrfd",
-                        choices=("scrfd", "mtcnn", "hog"),
-                        help="detector family: scrfd (production), mtcnn (lite), "
-                        "or hog (the dlib-fallback linear template — trained by "
-                        "SVM fitting with hard-negative mining, not SGD epochs)")
+                        choices=("scrfd", "mtcnn", "hog", "lite"),
+                        help="detector family: scrfd (production), mtcnn (lite "
+                        "second family), lite (S2D-Lite, the TPU-first "
+                        "ultra-light net — models/lite_detector.py), or hog "
+                        "(the dlib-fallback linear template — trained by SVM "
+                        "fitting with hard-negative mining, not SGD epochs)")
     parser.add_argument("--resume", type=str, default=None,
                         help="msgpack weights to continue from (crash recovery / "
                         "fine-tuning; parallels train.py --resume)")
