@@ -11,15 +11,23 @@ own — BASELINE.md).
 
 Secondary numbers (classify-only throughput, step latency) go to stderr so
 the stdout contract stays one line.
+
+Headline selection: the settled round-3 configuration (serving 640² /
+detect 320² / w160 block windowed warp / static-int8 tail from stage 3) is
+the control; the gated round-3-continuation candidates (fractional w128
+crop, rank-2/int8 tap construction, int8 SCRFD detector) are measured
+against it in one same-process A/B sweep (scripts/probe_serving.py) and the
+best fidelity-cleared config wins. Every candidate is already cleared on
+the accuracy axis (BASELINE.md round-3 fidelity table: w128-fractional has
+LOWER pooled crop RMSE than w160-block; the tap-construction modes are
+bitwise-identical; the int8 detector holds the detection acceptance bars in
+tests/test_scrfd_int8.py) — so per DESIGN.md the pick is by on-chip timing
+alone, which is exactly what this bench measures.
 """
 
 import json
 import sys
 import time
-
-import jax
-import jax.numpy as jnp
-import numpy as np
 
 BASELINE_FACES_PER_SEC = 5000.0
 
@@ -31,6 +39,8 @@ def _sync(tree):
     only an actual device→host transfer synchronizes. All timings here
     bracket the loop between two such transfers.
     """
+    import jax
+
     leaves = jax.tree_util.tree_leaves(tree)
     return jax.device_get([l.ravel()[0] for l in leaves if hasattr(l, "ravel")])
 
@@ -46,31 +56,105 @@ def _time_fn(fn, *args, iters=10, warmup=2):
     return (time.perf_counter() - t0) / iters
 
 
-def main():
+def _argv_opt(name, default):
+    """Optional CLI override (testing; the driver runs plain bench.py)."""
+    if name in sys.argv:
+        return sys.argv[sys.argv.index(name) + 1]
+    return default
+
+
+def _candidate_sweep(batch, tokens, timeout_s=2100):
+    """Run the control + gated-candidate A/B sweep in a child process.
+
+    The child (probe_serving.py --sweep) measures the CONTROL config first
+    under the exact bench protocol (same weights, calibration, frames,
+    warmup/iters), then each candidate, appending one JSON line per result
+    as it lands. Child-first keeps exactly one process on the single
+    tunnel chip, and bounds the whole sweep: on timeout the child is
+    ABANDONED, not killed (killing a possibly-mid-compile process wedges
+    the tunnel for ~40 min — CLAUDE.md), and whatever results it already
+    flushed are used. Token order is expected-value order so a timeout
+    keeps the most valuable measurements.
+    """
+    import os
+    import subprocess
+    import tempfile
+
+    from deepfake_vit_tpu.utils import get_project_root
+
+    out = tempfile.NamedTemporaryFile(
+        mode="w", suffix=".jsonl", prefix="bench_cand_", delete=False
+    ).name
+    script = get_project_root() / "scripts" / "probe_serving.py"
+    proc = subprocess.Popen(
+        [sys.executable, str(script), "--batch", str(batch),
+         "--int8-static", "--int8-start", "10",
+         "--sweep", tokens,
+         "--json", out],
+        stdout=sys.stderr, stderr=sys.stderr,
+    )
+    try:
+        proc.wait(timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        print("candidate sweep timed out; abandoning the child (never kill "
+              "a possibly-mid-compile process) and using partial results",
+              file=sys.stderr)
+    results = []
+    if os.path.exists(out):
+        with open(out) as f:
+            for line in f:
+                try:
+                    results.append(json.loads(line))
+                except ValueError:
+                    pass
+    return results
+
+
+def _pick_headline(results, control_label="w160block-legacy", margin=1.02):
+    """Pick (fps, cfg_note) from sweep records, or (None, None).
+
+    The control must be present (it anchors the same-process A/B); a
+    candidate wins only by a >margin same-process advantage. Failed combos
+    (records with an "error" key) never participate.
+    """
+    ok = [r for r in results if "faces_per_sec" in r]
+    ctrl = next((r for r in ok if r["label"] == control_label), None)
+    if ctrl is None:
+        return None, None
+    fps = ctrl["faces_per_sec"]
+    cfg = f"{control_label} (settled round-3 config)"
+    cands = [r for r in ok if r["label"] != control_label]
+    if cands:
+        best = max(cands, key=lambda r: r["faces_per_sec"])
+        if best["faces_per_sec"] > margin * fps:
+            cfg = (f"{best['label']} (candidate pick: beat the control's "
+                   f"{fps:.1f} faces/s in-process)")
+            fps = best["faces_per_sec"]
+    return fps, cfg
+
+
+def _build_headline(model_config, batch, serving, det_size):
+    """Build the settled headline pipeline + inputs on the accelerator.
+
+    Headline config: frames enter at the reference's 640² resolution
+    (preprocessing_config.yaml:12-15 detects at 640²) as uint8 (the
+    serving wire format — 4× less H2D than f32); detection runs via the
+    stem-folded SCRFD (the 2× pool rides the first conv), alignment warps
+    from the ORIGINAL 640² pixels via the pool-fused windowed warp at the
+    fidelity-first window 160, and the classifier runs the parity-gated
+    int8 late-stage tail (tests/test_int8_tail.py). Detection quality at
+    the 320² canvas is held by the trained-weights acceptance tests
+    (tests/test_detector_trained.py).
+    """
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
     from deepfake_vit_tpu.e2e import FusedPipeline
-    from deepfake_vit_tpu.utils import enable_compilation_cache, load_config, get_project_root
-
-    enable_compilation_cache()
-
-    cfg_dir = get_project_root() / "deepfake_vit_tpu" / "configs"
-    model_config = load_config(cfg_dir / "model_config.yaml")
 
     dev = jax.devices()[0]
     print(f"device: {dev} ({dev.platform})", file=sys.stderr)
 
-    # --- end-to-end fused pipeline ---------------------------------------
-    # Headline config: frames enter at the reference's 640² resolution
-    # (preprocessing_config.yaml:12-15 detects at 640²) as uint8 (the
-    # serving wire format — 4× less H2D than f32); detection runs via the
-    # stem-folded SCRFD (the 2× pool rides the first conv), alignment warps
-    # from the ORIGINAL 640² pixels via the pool-fused windowed warp at the
-    # fidelity-first window 160, and the classifier runs the parity-gated
-    # int8 late-stage tail (tests/test_int8_tail.py). Detection quality at
-    # the 320² canvas is held by the trained-weights acceptance tests
-    # (tests/test_detector_trained.py).
-    serving = (640, 640)
-    det_size = (320, 320)
-    batch = 256
     pipe = FusedPipeline(model_config, detection_input_size=det_size,
                          serving_size=serving, confidence_threshold=0.0,
                          use_int8_tail=True, int8_tail_start=10)
@@ -91,53 +175,85 @@ def main():
             np.random.default_rng(1).uniform(0, 255, (8, 224, 224, 3)),
             batch_size=8,
         )
-    det_vars, model_vars = jax.device_put((det_vars, model_vars), jax.devices()[0])
+    det_vars, model_vars = jax.device_put((det_vars, model_vars), dev)
     frames = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, size=(batch, *serving, 3)),
         jnp.uint8,
     )
+    return pipe, det_vars, model_vars, frames
 
-    t = _time_fn(pipe.forward, det_vars, model_vars, frames, iters=10, warmup=2)
-    e2e_fps = batch / t
-    print(f"end-to-end: {e2e_fps:.1f} faces/s (batch {batch}, {t*1e3:.2f} ms/step, "
-          f"serving 640² / detect 320² / static-int8 tail from stage 3 / "
-          f"window 160)", file=sys.stderr)
 
-    # The headline JSON contract is settled HERE, before any secondary
-    # probe, so a failure/hang below can never cost the recorded number.
+def main():
+    from deepfake_vit_tpu.utils import enable_compilation_cache, load_config, get_project_root
+
+    enable_compilation_cache()
+
+    cfg_dir = get_project_root() / "deepfake_vit_tpu" / "configs"
+    model_config = load_config(cfg_dir / "model_config.yaml")
+
+    serving = (640, 640)
+    det_size = (320, 320)
+    batch = int(_argv_opt("--batch", 256))
+    tokens = _argv_opt("--sweep-tokens",
+                       "160b,128f-uw16,128f-int8+d,128f,160b-uw16")
+
+    headline_fps = None
+    headline_cfg = "w160-block legacy taps (settled round-3 config)"
+
+    # Child-first measurement (see _candidate_sweep): the child re-measures
+    # the control under the identical protocol, then A/Bs the candidates in
+    # the same process (tunnel run-to-run variance is ±20%, in-process A/B
+    # is the only trustworthy comparison — BASELINE.md). The headline flips
+    # to a candidate only on a >2% same-process win over the child's own
+    # control — the documented flip criterion.
+    try:
+        results = _candidate_sweep(batch, tokens)
+        for r in results:
+            print(f"sweep: {r}", file=sys.stderr)
+        picked_fps, picked_cfg = _pick_headline(results)
+        if picked_fps is not None:
+            headline_fps, headline_cfg = picked_fps, picked_cfg
+    except Exception as e:  # sweep is best-effort — never kill the bench
+        msg = str(e).splitlines()[0][:160] if str(e) else ""
+        print(f"candidate sweep failed ({type(e).__name__}: {msg})",
+              file=sys.stderr)
+
+    pipe = det_vars = model_vars = frames = None
+    if headline_fps is None:
+        # Fallback: the child produced nothing (e.g. crashed before its
+        # control landed) — measure the settled control in-process.
+        pipe, det_vars, model_vars, frames = _build_headline(
+            model_config, batch, serving, det_size)
+        t = _time_fn(pipe.forward, det_vars, model_vars, frames,
+                     iters=10, warmup=2)
+        headline_fps = batch / t
+        print(f"end-to-end: {headline_fps:.1f} faces/s (batch {batch}, "
+              f"{t*1e3:.2f} ms/step, serving 640² / detect 320² / "
+              f"static-int8 tail from stage 3 / window 160)", file=sys.stderr)
+        headline_cfg += " [in-process fallback]"
+
+    print(f"headline config: {headline_cfg}", file=sys.stderr)
     print(json.dumps({
         "metric": "end_to_end_faces_per_sec_per_chip",
-        "value": round(e2e_fps, 1),
+        "value": round(headline_fps, 1),
         "unit": "faces/sec/chip",
-        "vs_baseline": round(e2e_fps / BASELINE_FACES_PER_SEC, 3),
+        "vs_baseline": round(headline_fps / BASELINE_FACES_PER_SEC, 3),
     }), flush=True)
-
-    # Gated-candidate probe (stderr only): the fidelity-cleared
-    # w128-fractional crop + rank-2 uw16 tap construction (BASELINE.md
-    # round-3 continuation: RMSE beats the w160-block headline in the
-    # large-face bins, ties taps; on-chip timing pending the tunnel).
-    # Measured here fail-soft so every real-hardware bench run records it.
-    try:
-        cand = FusedPipeline(model_config, detection_input_size=det_size,
-                             serving_size=serving, confidence_threshold=0.0,
-                             use_int8_tail=True, int8_tail_start=10,
-                             int8_act_scales=pipe.int8_act_scales,
-                             warp_window=128, warp_fractional=True,
-                             warp_tap_mode="uw16")
-        t_c = _time_fn(cand.forward, det_vars, model_vars, frames,
-                       iters=10, warmup=2)
-        print(f"candidate e2e (w128-frac, uw16 taps): {batch / t_c:.1f} faces/s "
-              f"({t_c*1e3:.2f} ms/step)", file=sys.stderr)
-        del cand
-    except Exception as e:  # candidate only — never kill the bench
-        msg = str(e).splitlines()[0][:160] if str(e) else ""
-        print(f"candidate e2e (w128-frac, uw16 taps): failed "
-              f"({type(e).__name__}: {msg})", file=sys.stderr)
 
     if "--full" in sys.argv:
         import gc
 
+        import jax
+        import jax.numpy as jnp
         import numpy as _np
+
+        from deepfake_vit_tpu.e2e import FusedPipeline
+
+        if pipe is None:
+            pipe, det_vars, model_vars, frames = _build_headline(
+                model_config, batch, serving, det_size)
+            _sync(pipe.forward(det_vars, model_vars, frames))  # warm/compile
+        cpu = jax.devices("cpu")[0]
 
         # Secondary e2e configs (BASELINE.md history / reference-equivalence):
         # (a) the w128 warp window — full MXU tiles in the warp matmul, at a
@@ -230,18 +346,18 @@ def main():
                 variables["params"], variables["batch_stats"], opt.init(variables["params"])
             )
         state = jax.device_put(state, jax.devices()[0])
-        batch = {
+        batch_tr = {
             "image": imgs,
             "label": jnp.asarray(_np.arange(64, dtype=_np.int32) % 2),
             "landmarks": lms,
         }
         step = make_train_step(model, crit, opt, mesh=None, donate=False)
         key = jax.random.PRNGKey(1)
-        s, m = step(state, batch, key)
+        s, m = step(state, batch_tr, key)
         _sync(m)
         t0 = time.perf_counter()
         for _ in range(10):
-            s, m = step(s, batch, key)
+            s, m = step(s, batch_tr, key)
         _sync(m)
         t_tr = (time.perf_counter() - t0) / 10
         print(f"train-step: {64 / t_tr:.1f} samples/s ({t_tr*1e3:.2f} ms / batch 64)",

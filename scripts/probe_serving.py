@@ -10,6 +10,7 @@ Usage:
 """
 
 import argparse
+import json
 import os
 import sys
 import time
@@ -58,6 +59,10 @@ def main():
                     "FusedPipeline sharing the loaded weights and the one "
                     "int8 calibration; timed under the one-process control "
                     "protocol of BASELINE.md round-3 tables")
+    ap.add_argument("--json", type=str, default=None,
+                    help="with --sweep: append one JSON line per combo to this "
+                    "path, flushed as each result lands (machine-readable "
+                    "partial results for bench.py's bounded candidate pick)")
     args = ap.parse_args()
 
     import jax
@@ -132,6 +137,13 @@ def main():
         return jax.device_get([l.ravel()[0] for l in leaves if hasattr(l, "ravel")])
 
     if args.sweep:
+        def emit(rec):
+            if args.json:
+                with open(args.json, "a") as f:
+                    f.write(json.dumps(rec) + "\n")
+                    f.flush()
+                    os.fsync(f.fileno())
+
         combos = []
         for tok in args.sweep.split(","):
             tok = tok.strip()
@@ -176,10 +188,18 @@ def main():
                 t = (time.perf_counter() - t0) / args.iters
                 print(f"e2e b{args.batch} {label}: "
                       f"{args.batch / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
+                emit({"label": label, "window": window, "fractional": frac,
+                      "taps": taps, "int8_detector": int8_det,
+                      "batch": args.batch, "ms": round(t * 1e3, 2),
+                      "faces_per_sec": round(args.batch / t, 1)})
             except Exception as e:
                 msg = str(e).splitlines()[0][:200] if str(e) else ""
                 print(f"e2e b{args.batch} {label}: FAILED "
                       f"({type(e).__name__}: {msg})")
+                emit({"label": label, "window": window, "fractional": frac,
+                      "taps": taps, "int8_detector": int8_det,
+                      "batch": args.batch,
+                      "error": f"{type(e).__name__}: {msg}"})
         return
 
     fwd = pipe.forward

@@ -1,0 +1,74 @@
+"""bench.py headline selection: the bounded candidate pick must be
+anchored on a same-process control and ignore failed combos.
+
+The sweep records are the JSON lines scripts/probe_serving.py --json
+flushes (one per combo, partial on timeout) — see bench._candidate_sweep.
+"""
+
+import importlib.util
+import sys
+from pathlib import Path
+
+
+def _load_bench():
+    path = Path(__file__).resolve().parents[1] / "bench.py"
+    spec = importlib.util.spec_from_file_location("bench_module", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["bench_module"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+bench = _load_bench()
+
+CTRL = {"label": "w160block-legacy", "faces_per_sec": 3480.0, "ms": 73.56}
+
+
+def test_control_only_keeps_control():
+    fps, cfg = bench._pick_headline([CTRL])
+    assert fps == 3480.0
+    assert "settled" in cfg
+
+
+def test_candidate_win_flips():
+    cand = {"label": "w128frac-uw16", "faces_per_sec": 4100.0, "ms": 62.4}
+    fps, cfg = bench._pick_headline([CTRL, cand])
+    assert fps == 4100.0
+    assert "w128frac-uw16" in cfg and "candidate pick" in cfg
+
+
+def test_within_margin_keeps_control():
+    # A 1% "win" is inside same-process noise — the control stays.
+    cand = {"label": "w128frac-uw16", "faces_per_sec": 3510.0}
+    fps, _ = bench._pick_headline([CTRL, cand])
+    assert fps == 3480.0
+
+
+def test_failed_and_slower_candidates_never_win():
+    records = [
+        CTRL,
+        {"label": "w128frac-int8+int8det", "error": "MosaicError: s8 dot"},
+        {"label": "w128frac-legacy", "faces_per_sec": 3200.0},
+    ]
+    fps, _ = bench._pick_headline(records)
+    assert fps == 3480.0
+
+
+def test_no_control_yields_none():
+    # Without the in-process anchor there is no trustworthy comparison
+    # (tunnel run-to-run variance is ±20%) — bench falls back to its own
+    # in-process control measurement.
+    cand = {"label": "w128frac-uw16", "faces_per_sec": 9999.0}
+    fps, cfg = bench._pick_headline([cand])
+    assert fps is None and cfg is None
+
+
+def test_best_of_multiple_candidates():
+    records = [
+        CTRL,
+        {"label": "w128frac-uw16", "faces_per_sec": 3900.0},
+        {"label": "w128frac-int8+int8det", "faces_per_sec": 4400.0},
+        {"label": "w160block-uw16", "faces_per_sec": 3700.0},
+    ]
+    fps, cfg = bench._pick_headline(records)
+    assert fps == 4400.0 and "w128frac-int8+int8det" in cfg
