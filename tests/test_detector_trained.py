@@ -158,3 +158,68 @@ def test_mtcnn_lite_trained_quality():
             )
     assert hits / n >= 0.85, f"lite recall {hits}/{n}"
     assert np.mean(lm_errs) < 0.20, f"lite landmark err {np.mean(lm_errs):.3f} IED"
+
+
+# ---------------------------------------------------------------------------
+# Fourth family: S2D-Lite (models/lite_detector.py, ~0.9M params). Unlike
+# MTCNN-Lite it is a candidate SCRFD *replacement* at the same 320² canvas
+# (ROADMAP 1b), so it must hold the SAME bars as SCRFD — recall ≥ 0.9
+# @ IoU>0.5, landmark error < 10% IED, and the clutter false-positive bar.
+# ---------------------------------------------------------------------------
+
+
+@pytest.fixture(scope="module")
+def s2d_lite_detector():
+    det = FaceDetector(
+        model_name="lite", confidence_threshold=0.3, input_size=(SIZE, SIZE),
+        keep_top_k=1,
+    )
+    return det
+
+
+s2d_lite_weights = pytest.mark.skipif(
+    not DEFAULT_WEIGHTS_BY_MODEL["lite"].exists(),
+    reason="trained s2d-lite weights not present",
+)
+
+
+@pytest.mark.slow
+@s2d_lite_weights
+def test_s2d_lite_recall_and_landmark_accuracy(s2d_lite_detector, heldout_scenes):
+    images = np.stack([s[0] for s in heldout_scenes])
+    out = s2d_lite_detector.detect_batch_raw(images.astype(np.float32))
+
+    hits = 0
+    lm_errs = []
+    for i, (_, boxes, kps) in enumerate(heldout_scenes):
+        valid = out["valid"][i]
+        if not valid.any():
+            continue
+        scores = out["scores"][i][valid]
+        best = int(np.argmax(scores))
+        bbox = out["boxes"][i][valid][best]
+        lms = out["landmarks"][i][valid][best]
+        ious = [_iou(bbox, b) for b in boxes]
+        gi = int(np.argmax(ious))
+        if ious[gi] > 0.5:
+            hits += 1
+            ied = float(np.linalg.norm(kps[gi][0] - kps[gi][1]))
+            lm_errs.append(float(np.linalg.norm(lms - kps[gi], axis=1).mean()) / ied)
+
+    n = len(heldout_scenes)
+    recall = hits / n
+    assert recall >= 0.9, f"s2d-lite recall@IoU0.5 {recall:.2f} ({hits}/{n})"
+    assert np.mean(lm_errs) < 0.10, \
+        f"s2d-lite mean landmark error {np.mean(lm_errs):.3f} of IED"
+
+
+@pytest.mark.slow
+@s2d_lite_weights
+def test_s2d_lite_no_high_confidence_false_positives(s2d_lite_detector):
+    rng = np.random.default_rng(HELDOUT_SEED + 11)
+    images = np.stack(
+        [render_scene(rng, size=SIZE, p_empty=1.1)[0] for _ in range(16)]
+    )
+    out = s2d_lite_detector.detect_batch_raw(images.astype(np.float32))
+    max_scores = np.where(out["valid"], out["scores"], 0.0).max(axis=1)
+    assert (max_scores < 0.6).mean() >= 0.9, f"clutter scores: {max_scores}"
