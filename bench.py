@@ -176,6 +176,10 @@ def _build_headline(model_config, batch, serving, det_size):
             batch_size=8,
         )
     det_vars, model_vars = jax.device_put((det_vars, model_vars), dev)
+    # Warm the tunnel's first-uint8-transfer path with a tiny real buffer
+    # before the big frame upload (CLAUDE.md: the FIRST uint8 device_put in
+    # a process crawls at ~0.05 MB/s; steady state is ~30-55 MB/s).
+    jax.device_get(jax.device_put(np.ones((8, 128), np.uint8), dev))
     frames = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, size=(batch, *serving, 3)),
         jnp.uint8,
