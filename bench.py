@@ -15,14 +15,16 @@ the stdout contract stays one line.
 Headline selection: the settled round-3 configuration (serving 640² /
 detect 320² / w160 block windowed warp / static-int8 tail from stage 3) is
 the control; the gated round-3-continuation candidates (fractional w128
-crop, rank-2/int8 tap construction, int8 SCRFD detector) are measured
+crop, rank-2/int8 tap construction, int8 SCRFD detector, and — once its
+trained weights land — the S2D-Lite detector family) are measured
 against it in one same-process A/B sweep (scripts/probe_serving.py) and the
 best fidelity-cleared config wins. Every candidate is already cleared on
 the accuracy axis (BASELINE.md round-3 fidelity table: w128-fractional has
 LOWER pooled crop RMSE than w160-block; the tap-construction modes are
 bitwise-identical; the int8 detector holds the detection acceptance bars in
-tests/test_scrfd_int8.py) — so per DESIGN.md the pick is by on-chip timing
-alone, which is exactly what this bench measures.
+tests/test_scrfd_int8.py; S2D-Lite weights are committed only after holding
+the SCRFD bars in tests/test_detector_trained.py) — so per DESIGN.md the
+pick is by on-chip timing alone, which is exactly what this bench measures.
 """
 
 import json
@@ -61,6 +63,24 @@ def _argv_opt(name, default):
     if name in sys.argv:
         return sys.argv[sys.argv.index(name) + 1]
     return default
+
+
+def _default_tokens():
+    """Sweep tokens in expected-value order (a timeout keeps the head).
+
+    The S2D-Lite detector combos (``+L``) join only when its trained
+    weights are present — weights are committed only after holding the
+    SCRFD-level acceptance bars (tests/test_detector_trained.py), so
+    presence IS the fidelity gate, matching the candidate-clearance rule
+    in the module docstring.
+    """
+    toks = ["160b", "128f-uw16", "128f-int8+d", "128f", "160b-uw16"]
+    from deepfake_vit_tpu.preprocessing.detector import default_weights_path
+
+    if default_weights_path("lite"):
+        toks.insert(2, "160b+L")
+        toks.insert(4, "128f-uw16+L")
+    return ",".join(toks)
 
 
 def _candidate_sweep(batch, tokens, timeout_s=2100):
@@ -198,8 +218,7 @@ def main():
     serving = (640, 640)
     det_size = (320, 320)
     batch = int(_argv_opt("--batch", 256))
-    tokens = _argv_opt("--sweep-tokens",
-                       "160b,128f-uw16,128f-int8+d,128f,160b-uw16")
+    tokens = _argv_opt("--sweep-tokens", _default_tokens())
 
     headline_fps = None
     headline_cfg = "w160-block legacy taps (settled round-3 config)"

@@ -19,6 +19,31 @@ from pathlib import Path
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
+def parse_sweep_tokens(sweep: str):
+    """Parse --sweep tokens: ``<window><b|f>[-taps][+d|+L]``.
+
+    ``+d`` = int8 SCRFD detector (static scales); ``+L`` = the S2D-Lite
+    detector family (models/lite_detector.py) in place of SCRFD. They are
+    mutually exclusive (the int8 detector graph is SCRFD-only — e2e.py).
+    Returns (window, fractional, taps, int8_det, lite) tuples.
+    """
+    combos = []
+    for tok in sweep.split(","):
+        tok = tok.strip()
+        lite = tok.endswith("+L")
+        int8_det = tok.endswith("+d")
+        if lite or int8_det:
+            tok = tok[:-2]
+        tok, _, taps = tok.partition("-")
+        if not tok or tok[-1] not in ("b", "f") or not tok[:-1].isdigit():
+            raise SystemExit(
+                f"bad sweep token {tok!r}: want <window><b|f>[-taps][+d|+L]"
+            )
+        combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy",
+                       int8_det, lite))
+    return combos
+
+
 def main():
     ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
     ap.add_argument("--batch", type=int, default=256)
@@ -44,6 +69,10 @@ def main():
                     choices=["legacy", "uw", "uw16", "int8"],
                     help="warp-kernel tap construction "
                     "(ops/pallas/warp_kernel.py)")
+    ap.add_argument("--detector-arch", type=str, default="scrfd",
+                    choices=["scrfd", "lite"],
+                    help="detection family for the single-config probe "
+                    "(lite = S2D-Lite, models/lite_detector.py)")
     ap.add_argument("--int8-detector", action="store_true",
                     help="run the SCRFD forward as s8×s8→s32 MXU convs "
                     "(models/scrfd_int8.py), dynamic activation scales")
@@ -52,10 +81,11 @@ def main():
                     "scales (removes the per-conv max-abs + quantize passes)")
     ap.add_argument("--sweep", type=str, default=None,
                     help="same-process warp-config sweep: comma-separated "
-                    "<window><b|f>[-taps][+d] combos, e.g. "
-                    "'160b,160f,128f-uw16,160b+d' "
+                    "<window><b|f>[-taps][+d|+L] combos, e.g. "
+                    "'160b,160f,128f-uw16,160b+d,160b+L' "
                     "(b = 2^l block average, f = fractional taps; +d = int8 "
-                    "detector, static scales). Each combo is a fresh "
+                    "detector, static scales; +L = the S2D-Lite detector "
+                    "family). Each combo is a fresh "
                     "FusedPipeline sharing the loaded weights and the one "
                     "int8 calibration; timed under the one-process control "
                     "protocol of BASELINE.md round-3 tables")
@@ -90,6 +120,7 @@ def main():
         warp_fractional=args.warp_fractional,
         warp_tap_mode=args.warp_taps,
         use_int8_detector=args.int8_detector,
+        detector_arch=args.detector_arch,
     )
     det_scales = None
     cpu = jax.devices("cpu")[0]
@@ -144,22 +175,24 @@ def main():
                     f.flush()
                     os.fsync(f.fileno())
 
-        combos = []
-        for tok in args.sweep.split(","):
-            tok = tok.strip()
-            int8_det = tok.endswith("+d")
-            if int8_det:
-                tok = tok[:-2]
-            tok, _, taps = tok.partition("-")
-            if tok[-1] not in ("b", "f"):
-                raise SystemExit(
-                    f"bad sweep token {tok!r}: want <window><b|f>[-taps][+d]"
-                )
-            combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy",
-                           int8_det))
-        for window, frac, taps, int8_det in combos:
+        combos = parse_sweep_tokens(args.sweep)
+        lite_det_vars = None
+        if any(lite for *_, lite in combos):
+            # The S2D-Lite family has its own parameter tree: init + weight
+            # overlay through the same load_variables path the headline
+            # uses, on the CPU backend (tunnel compiles cost minutes).
+            lp = FusedPipeline(
+                model_config, detection_input_size=(320, 320),
+                serving_size=(640, 640), confidence_threshold=0.0,
+                detector_arch="lite",
+            )
+            with jax.default_device(cpu):
+                lite_det_vars, _ = lp.load_variables(jax.random.PRNGKey(0))
+            lite_det_vars = jax.device_put(lite_det_vars, dev)
+        for window, frac, taps, int8_det, lite in combos:
             label = (f"w{window}{'frac' if frac else 'block'}-{taps}"
-                     f"{'+int8det' if int8_det else ''}")
+                     f"{'+int8det' if int8_det else ''}"
+                     f"{'+lite' if lite else ''}")
             # Fail-soft per combo: a Mosaic lowering rejection (e.g. an s8
             # dot an older toolchain can't emit) must not kill the rest of
             # an unattended sweep.
@@ -173,23 +206,25 @@ def main():
                     warp_window=window, warp_fractional=frac,
                     warp_tap_mode=taps,
                     use_int8_detector=int8_det, det_act_scales=det_scales,
+                    detector_arch="lite" if lite else "scrfd",
                 )
+                dv = lite_det_vars if lite else det_vars
                 t_c0 = time.perf_counter()
-                out = p.forward(det_vars, model_vars, frames)
+                out = p.forward(dv, model_vars, frames)
                 _sync(out)
                 print(f"  {label} compile+run {time.perf_counter() - t_c0:.1f} s",
                       file=sys.stderr)
                 for _ in range(args.warmup - 1):
-                    _sync(p.forward(det_vars, model_vars, frames))
+                    _sync(p.forward(dv, model_vars, frames))
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
-                    out = p.forward(det_vars, model_vars, frames)
+                    out = p.forward(dv, model_vars, frames)
                 _sync(out)
                 t = (time.perf_counter() - t0) / args.iters
                 print(f"e2e b{args.batch} {label}: "
                       f"{args.batch / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
                 emit({"label": label, "window": window, "fractional": frac,
-                      "taps": taps, "int8_detector": int8_det,
+                      "taps": taps, "int8_detector": int8_det, "lite": lite,
                       "batch": args.batch, "ms": round(t * 1e3, 2),
                       "faces_per_sec": round(args.batch / t, 1)})
             except Exception as e:
@@ -197,7 +232,7 @@ def main():
                 print(f"e2e b{args.batch} {label}: FAILED "
                       f"({type(e).__name__}: {msg})")
                 emit({"label": label, "window": window, "fractional": frac,
-                      "taps": taps, "int8_detector": int8_det,
+                      "taps": taps, "int8_detector": int8_det, "lite": lite,
                       "batch": args.batch,
                       "error": f"{type(e).__name__}: {msg}"})
         return

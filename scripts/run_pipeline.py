@@ -122,6 +122,11 @@ def main():
                         help="serve the SCRFD forward as s8×s8→s32 MXU convs "
                         "with static calibrated scales (models/scrfd_int8.py, "
                         "parity-gated in tests/test_scrfd_int8.py)")
+    parser.add_argument("--detector-arch", type=str, default="scrfd",
+                        choices=["scrfd", "lite"],
+                        help="detection family: scrfd (production) or lite "
+                        "(S2D-Lite, models/lite_detector.py — space-to-depth "
+                        "ultra-light net; loads its own committed weights)")
     args = parser.parse_args()
 
     import jax
@@ -151,6 +156,7 @@ def main():
         warp_fractional=args.warp_fractional,
         warp_tap_mode=args.warp_taps,
         use_int8_detector=args.int8_detector,
+        detector_arch=args.detector_arch,
     )
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):

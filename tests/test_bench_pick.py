@@ -72,3 +72,53 @@ def test_best_of_multiple_candidates():
     ]
     fps, cfg = bench._pick_headline(records)
     assert fps == 4400.0 and "w128frac-int8+int8det" in cfg
+
+
+def _load_probe_serving():
+    path = Path(__file__).resolve().parents[1] / "scripts" / "probe_serving.py"
+    spec = importlib.util.spec_from_file_location("probe_serving_module", path)
+    mod = importlib.util.module_from_spec(spec)
+    sys.modules["probe_serving_module"] = mod
+    spec.loader.exec_module(mod)
+    return mod
+
+
+def test_sweep_token_grammar():
+    ps = _load_probe_serving()
+    combos = ps.parse_sweep_tokens("160b,128f-uw16,128f-int8+d,160b+L, 128f+L")
+    assert combos == [
+        (160, False, "legacy", False, False),
+        (128, True, "uw16", False, False),
+        (128, True, "int8", True, False),
+        (160, False, "legacy", False, True),
+        (128, True, "legacy", False, True),
+    ]
+
+
+def test_sweep_token_grammar_rejects_garbage():
+    import pytest
+
+    ps = _load_probe_serving()
+    for bad in ("160", "x128f", "128f+z", "+L"):
+        with pytest.raises(SystemExit):
+            ps.parse_sweep_tokens(bad)
+
+
+def test_default_tokens_gate_on_lite_weights(monkeypatch):
+    """The S2D-Lite combos join the bench sweep ONLY when its trained
+    weights are present (presence == the acceptance bars held — weights
+    are never committed otherwise)."""
+    import deepfake_vit_tpu.preprocessing.detector as det
+
+    monkeypatch.setattr(det, "default_weights_path", lambda m="scrfd": None)
+    toks = bench._default_tokens().split(",")
+    assert toks[0] == "160b" and not any(t.endswith("+L") for t in toks)
+
+    monkeypatch.setattr(
+        det, "default_weights_path",
+        lambda m="scrfd": "/w/lite.msgpack" if m == "lite" else None,
+    )
+    toks = bench._default_tokens().split(",")
+    # Control stays first (it anchors the A/B); lite combos are present.
+    assert toks[0] == "160b"
+    assert "160b+L" in toks and "128f-uw16+L" in toks
