@@ -181,14 +181,23 @@ def main():
             # The S2D-Lite family has its own parameter tree: init + weight
             # overlay through the same load_variables path the headline
             # uses, on the CPU backend (tunnel compiles cost minutes).
-            lp = FusedPipeline(
-                model_config, detection_input_size=(320, 320),
-                serving_size=(640, 640), confidence_threshold=0.0,
-                detector_arch="lite",
-            )
-            with jax.default_device(cpu):
-                lite_det_vars, _ = lp.load_variables(jax.random.PRNGKey(0))
-            lite_det_vars = jax.device_put(lite_det_vars, dev)
+            # Fail-soft: a bad/mid-write weights file must drop only the
+            # +L combos, never the control anchoring the whole sweep.
+            try:
+                lp = FusedPipeline(
+                    model_config, detection_input_size=(320, 320),
+                    serving_size=(640, 640), confidence_threshold=0.0,
+                    detector_arch="lite",
+                )
+                with jax.default_device(cpu):
+                    lite_det_vars, _ = lp.load_variables(jax.random.PRNGKey(0))
+                lite_det_vars = jax.device_put(lite_det_vars, dev)
+            except Exception as e:
+                msg = str(e).splitlines()[0][:200] if str(e) else ""
+                print(f"lite weight tree unavailable "
+                      f"({type(e).__name__}: {msg}); dropping +L combos",
+                      file=sys.stderr)
+                combos = [c for c in combos if not c[4]]
         for window, frac, taps, int8_det, lite in combos:
             label = (f"w{window}{'frac' if frac else 'block'}-{taps}"
                      f"{'+int8det' if int8_det else ''}"

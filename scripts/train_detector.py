@@ -173,8 +173,13 @@ def main():
         state_dict = serialization.to_state_dict(
             {"params": jax.device_get(params), "batch_stats": jax.device_get(stats)}
         )
-        with open(out, "wb") as f:
+        # Atomic (tmp + rename), matching utils/io_utils.py: per-epoch
+        # checkpoints must never leave a truncated file for a concurrent
+        # reader (e.g. a bench sweep loading the weights mid-write).
+        tmp = out.with_suffix(out.suffix + ".tmp")
+        with open(tmp, "wb") as f:
             f.write(serialization.msgpack_serialize(state_dict))
+        tmp.replace(out)
 
     rng = np.random.default_rng(args.seed)
     n = len(records)
