@@ -83,6 +83,50 @@ def _default_tokens():
     return ",".join(toks)
 
 
+def _tunnel_preflight(retries=3, probe_timeout=240, backoff=180):
+    """Bounded device check before anything tries to compile.
+
+    Round 3 ended rc=1 with "Unable to initialize backend 'axon'" and no
+    diagnosis (VERDICT r3 weak #2). Backend init on the tunnel platform can
+    HANG (not error) when the tunnel is wedged, and an in-process attempt
+    can't be timed out — so the probe runs in a CHILD process under a hard
+    timeout. The probe is a tiny f32 device_put/get round-trip: it holds no
+    compile, so a timeout kill cannot wedge the tunnel further (CLAUDE.md).
+    Returns True when a device answered; on False the caller should exit
+    with a crisp diagnosis instead of hanging the driver.
+    """
+    import subprocess
+
+    probe = (
+        "import numpy as np, jax\n"
+        "d = jax.devices()[0]\n"
+        "x = jax.device_put(np.ones((8, 128), np.float32), d)\n"
+        "assert float(jax.device_get(x).sum()) == 1024.0\n"
+        "print('PREFLIGHT_OK', d.platform)\n"
+    )
+    for attempt in range(1, retries + 1):
+        try:
+            proc = subprocess.run(
+                [sys.executable, "-c", probe],
+                capture_output=True, text=True, timeout=probe_timeout,
+            )
+            out = (proc.stdout or "").strip().splitlines()
+            if proc.returncode == 0 and out and out[-1].startswith("PREFLIGHT_OK"):
+                print(f"preflight: device up ({out[-1]})", file=sys.stderr)
+                return True
+            tail = (proc.stderr or "").strip().splitlines()[-3:]
+            print(f"preflight attempt {attempt}/{retries}: probe rc="
+                  f"{proc.returncode}; stderr tail: {' | '.join(tail)}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"preflight attempt {attempt}/{retries}: probe hung "
+                  f">{probe_timeout}s (backend init blocked — tunnel wedged "
+                  f"or relay down)", file=sys.stderr)
+        if attempt < retries:
+            time.sleep(backoff)
+    return False
+
+
 def _candidate_sweep(batch, tokens, timeout_s=2100):
     """Run the control + gated-candidate A/B sweep in a child process.
 
@@ -220,6 +264,15 @@ def main():
     batch = int(_argv_opt("--batch", 256))
     tokens = _argv_opt("--sweep-tokens", _default_tokens())
 
+    if not _tunnel_preflight():
+        print("BENCH ABORT: no accelerator answered a no-compile f32 "
+              "round-trip after bounded retries. Diagnosis: the axon tunnel "
+              "is down or wedged (backend init hangs); nothing can be "
+              "measured. This is an infrastructure condition, not a "
+              "framework regression — re-run once the tunnel answers "
+              "(see /tmp/tunnel_watch_r4.log pattern).", file=sys.stderr)
+        sys.exit(1)
+
     headline_fps = None
     headline_cfg = "w160-block legacy taps (settled round-3 config)"
 
@@ -256,11 +309,15 @@ def main():
         headline_cfg += " [in-process fallback]"
 
     print(f"headline config: {headline_cfg}", file=sys.stderr)
+    # "config" makes the driver's BENCH_rN history self-describing — the
+    # winning configuration label travels with the number (VERDICT r3
+    # weak #5), instead of living only in stderr.
     print(json.dumps({
         "metric": "end_to_end_faces_per_sec_per_chip",
         "value": round(headline_fps, 1),
         "unit": "faces/sec/chip",
         "vs_baseline": round(headline_fps / BASELINE_FACES_PER_SEC, 3),
+        "config": headline_cfg,
     }), flush=True)
 
     if "--full" in sys.argv:

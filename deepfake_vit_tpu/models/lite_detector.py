@@ -43,6 +43,16 @@ Serving integration mirrors the SCRFD stem-pool fold: with
 the space-to-depth factor to 4p, and ``fold_stem_pool_params_lite``
 expands the canonical first-conv weights so pool-then-detect is
 reproduced EXACTLY (an average pool is a linear map on s2d blocks).
+
+Training status (round-4 post-mortem): a full 33-epoch run on the 2,500
+scene procedural corpus (AdamW 1e-3, 320²) converged in loss
+(total 0.12) but plateaued at recall 0.75 / clutter pass-rate 0.75 vs
+the 0.9 bars — the ~0.9M-param budget under-fits the SCRFD-level
+contract on this corpus, and more epochs did not move either bar (the
+judge measured the identical 0.75s mid-train at ~e20). No weights ship;
+the ``+L`` bench tokens stay inactive (docs/DESIGN.md § weight gate).
+Closing the gap needs capacity (e.g. a wider head or a second head
+depth) or a recall-weighted loss schedule — not longer training.
 """
 
 from __future__ import annotations

@@ -537,7 +537,7 @@ def crop_window_pool_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(N,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), *extra_specs],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), *extra_specs],
         out_specs=pl.BlockSpec(
             (1, window, WcC), lambda b, y0, x0, lvl, fi: (b, 0, 0),
             memory_space=pltpu.VMEM,
@@ -780,7 +780,7 @@ def crop_window_frac_pallas(
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=6,
         grid=(N,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY), *extra_specs],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY), *extra_specs],
         out_specs=pl.BlockSpec(
             (1, window, WcC), lambda b, s0, lvl, fi, rfp, oy, x0: (b, 0, 0),
             memory_space=pltpu.VMEM,

@@ -12,6 +12,7 @@ ONNX session, ``face_detector.py:96-110``).
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import Any, Dict, List, Optional, Tuple
 
@@ -39,7 +40,18 @@ DEFAULT_WEIGHTS_BY_MODEL = {
 
 
 def default_weights_path(model: str = "scrfd") -> Optional[str]:
-    """Path to the committed detector weights, or None if absent."""
+    """Path to the committed detector weights, or None if absent.
+
+    ``DFV_WEIGHTS_<MODEL>`` (e.g. ``DFV_WEIGHTS_LITE``) overrides the
+    committed path: the promotion gate (``scripts/promote_weights.py``)
+    sets it to run the acceptance tests against a STAGED candidate, so a
+    file lands in ``deepfake_vit_tpu/weights/`` only after passing — file
+    presence in the shipped dir then mechanically implies acceptance
+    (the invariant bench.py's ``+L`` sweep gating relies on).
+    """
+    env = os.environ.get(f"DFV_WEIGHTS_{model.upper()}")
+    if env:
+        return env if Path(env).exists() else None
     p = DEFAULT_WEIGHTS_BY_MODEL.get(model)
     return str(p) if p is not None and p.exists() else None
 

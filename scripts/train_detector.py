@@ -27,6 +27,28 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 import numpy as np
 
 
+def shipped_weights_dir() -> Path:
+    """The committed-weights dir guarded by the promotion gate."""
+    return Path(__file__).resolve().parents[1] / "deepfake_vit_tpu" / "weights"
+
+
+def save_targets_shipped_dir(save_path: str) -> bool:
+    """True if --save would write inside deepfake_vit_tpu/weights/.
+
+    Training must never write there directly: round 3 shipped a mid-train
+    checkpoint because --save-every wrote per-epoch snapshots straight to
+    the committed path, silently voiding the 'presence == acceptance'
+    invariant (VERDICT r3 weak #1). Promotion goes through
+    scripts/promote_weights.py only.
+    """
+    try:
+        resolved = Path(save_path).resolve()
+    except OSError:
+        return False
+    shipped = shipped_weights_dir()
+    return resolved == shipped or shipped in resolved.parents
+
+
 def load_annotations(path: str):
     with open(path) as f:
         return json.load(f)
@@ -90,6 +112,15 @@ def main():
     args = parser.parse_args()
     if not args.annotations and not args.synthetic:
         parser.error("one of --annotations or --synthetic is required")
+    if save_targets_shipped_dir(args.save):
+        parser.error(
+            f"--save must not target the shipped weights dir "
+            f"({shipped_weights_dir()}): per-epoch checkpoints there would "
+            f"make file presence mean 'epoch 1 finished', not 'accepted'. "
+            f"Train to a staging path (e.g. checkpoints/staging/…) and run "
+            f"scripts/promote_weights.py, which promotes only after the "
+            f"family's acceptance tests pass."
+        )
 
     import jax
     import jax.numpy as jnp

@@ -104,6 +104,24 @@ def test_sweep_token_grammar_rejects_garbage():
             ps.parse_sweep_tokens(bad)
 
 
+def test_tunnel_preflight_succeeds_on_cpu(monkeypatch):
+    """The bounded preflight answers True on any live backend. CPU here;
+    PALLAS_AXON_POOL_IPS is dropped so the child interpreter can't block
+    on sitecustomize axon registration when the tunnel is wedged."""
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "cpu")
+    monkeypatch.setenv("JAX_PLATFORM_NAME", "cpu")
+    assert bench._tunnel_preflight(retries=1, probe_timeout=120)
+
+
+def test_tunnel_preflight_bounded_on_dead_backend(monkeypatch):
+    """A backend that cannot initialize must yield False within the bound,
+    never hang — this is the rc=1-with-diagnosis path of VERDICT r3 #2."""
+    monkeypatch.delenv("PALLAS_AXON_POOL_IPS", raising=False)
+    monkeypatch.setenv("JAX_PLATFORMS", "nonexistent_backend")
+    assert not bench._tunnel_preflight(retries=1, probe_timeout=120, backoff=0)
+
+
 def test_default_tokens_gate_on_lite_weights(monkeypatch):
     """The S2D-Lite combos join the bench sweep ONLY when its trained
     weights are present (presence == the acceptance bars held — weights

@@ -21,13 +21,16 @@ import pytest
 
 from deepfake_vit_tpu.data.synth_faces import render_scene
 from deepfake_vit_tpu.preprocessing.detector import (
-    DEFAULT_WEIGHTS,
     FaceDetector,
     default_weights_path,
 )
 
+# Skip marks resolve through default_weights_path() so the promotion gate
+# (scripts/promote_weights.py) can point a family at a STAGED candidate via
+# DFV_WEIGHTS_<MODEL> and run these bars before anything lands in weights/.
 pytestmark = pytest.mark.skipif(
-    not DEFAULT_WEIGHTS.exists(), reason="trained detector weights not present"
+    default_weights_path("scrfd") is None,
+    reason="trained detector weights not present",
 )
 
 SIZE = 320
@@ -123,12 +126,10 @@ def test_single_image_contract(detector, heldout_scenes):
 # mirroring the reference's MTCNN-vs-buffalo_l relationship.
 # ---------------------------------------------------------------------------
 
-from deepfake_vit_tpu.preprocessing.detector import DEFAULT_WEIGHTS_BY_MODEL
-
 
 @pytest.mark.slow
 @pytest.mark.skipif(
-    not DEFAULT_WEIGHTS_BY_MODEL["mtcnn"].exists(),
+    default_weights_path("mtcnn") is None,
     reason="trained mtcnn-lite weights not present",
 )
 def test_mtcnn_lite_trained_quality():
@@ -178,7 +179,7 @@ def s2d_lite_detector():
 
 
 s2d_lite_weights = pytest.mark.skipif(
-    not DEFAULT_WEIGHTS_BY_MODEL["lite"].exists(),
+    default_weights_path("lite") is None,
     reason="trained s2d-lite weights not present",
 )
 
