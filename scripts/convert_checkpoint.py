@@ -12,6 +12,11 @@ Closes the reference's pretrained-weight workflows for the JAX stack:
   path (BASELINE.md target: FF++ AUC within 0.5 pts).
 - ``--kind vit``: HuggingFace ViTForImageClassification directory/state
   dict → ViTClassifier params.
+- ``--kind detector``: an external SCRFD-style detector ``.pth``
+  (layout spec: ``models/convert.py::convert_scrfd_detector``) → a flax
+  msgpack loadable by ``FaceDetector.load_weights`` / promotable via
+  ``scripts/promote_weights.py --model scrfd`` — the real-weights path of
+  the reference's buffalo_l download (``face_detector.py:220-227``).
 """
 
 import argparse
@@ -25,7 +30,8 @@ def main():
     parser = argparse.ArgumentParser(description="torch → JAX checkpoint conversion")
     parser.add_argument("--input", type=str, required=True, help=".pth / HF dir")
     parser.add_argument("--output", type=str, required=True, help="output .ckpt path")
-    parser.add_argument("--kind", choices=["backbone", "model", "vit"], default="model")
+    parser.add_argument("--kind", choices=["backbone", "model", "vit", "detector"],
+                        default="model")
     parser.add_argument("--variant", type=str, default="b4")
     parser.add_argument("--hidden-dims", type=int, nargs="+", default=[512, 128, 32])
     args = parser.parse_args()
@@ -54,6 +60,20 @@ def main():
                                    ("tiny16", "small16", "base16") else "base16")
         state = {"epoch": 0, "params": variables["params"], "batch_stats": {},
                  "opt_state": {}, "source": str(args.input)}
+    elif args.kind == "detector":
+        from flax import serialization
+
+        from deepfake_vit_tpu.models.convert import convert_scrfd_detector
+
+        sd = load_torch_state_dict(args.input)
+        variables = convert_scrfd_detector(sd)
+        out = Path(args.output)
+        out.parent.mkdir(parents=True, exist_ok=True)
+        with open(out, "wb") as f:
+            f.write(serialization.msgpack_serialize(
+                serialization.to_state_dict(variables)))
+        logger.info(f"converted detector checkpoint → {out}")
+        return
     else:
         sd = load_torch_state_dict(args.input)
         if args.kind == "backbone":

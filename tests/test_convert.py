@@ -416,3 +416,119 @@ def test_full_network_golden_parity(rng):
     np.testing.assert_allclose(
         np.asarray(logits_f), logits_t.numpy(), atol=1e-3, rtol=1e-3
     )
+
+
+# ---------------------------------------------------------------------------
+# Detector conversion (VERDICT r3 next #6): round-trip a synthetic external
+# SCRFD-style checkpoint (torch layout, random values) through
+# convert_scrfd_detector into FaceDetector and assert DECODE equivalence —
+# so the day real converted det_10g weights reach the environment they load
+# without new code. Reference counterpart: the buffalo_l pretrained-weights
+# path (src/preprocessing/face_detector.py:220-227).
+# ---------------------------------------------------------------------------
+
+
+def test_scrfd_detector_conversion_roundtrip(tmp_path):
+    from flax import serialization
+
+    from deepfake_vit_tpu.models.convert import (
+        convert_scrfd_detector,
+        export_scrfd_torch_layout,
+    )
+    from deepfake_vit_tpu.models.scrfd import ScrfdDetector
+    from deepfake_vit_tpu.preprocessing.detector import FaceDetector
+
+    det = ScrfdDetector()
+    variables = det.init(jax.random.PRNGKey(7), jnp.zeros((1, 64, 64, 3)))
+    variables = jax.tree_util.tree_map(np.asarray, variables)
+    # Non-trivial batch stats so BN running-average handling is exercised.
+    variables["batch_stats"] = jax.tree_util.tree_map(
+        lambda x: x + np.random.default_rng(3).normal(0, 0.05, x.shape).astype(x.dtype),
+        variables["batch_stats"],
+    )
+
+    # The "external checkpoint": torch-layout flat dict saved with torch.save
+    # (exactly what load_torch_state_dict consumes), values from the flax
+    # init so equivalence is checkable.
+    sd = export_scrfd_torch_layout(variables)
+    pth = tmp_path / "scrfd_external.pth"
+    torch.save({"state_dict": {k: torch.tensor(v) for k, v in sd.items()}}, pth)
+
+    from deepfake_vit_tpu.models.convert import load_torch_state_dict
+
+    converted = convert_scrfd_detector(load_torch_state_dict(str(pth)))
+    assert_tree_shapes_match(
+        converted["params"], jax.tree_util.tree_map(np.asarray, variables["params"])
+    )
+    assert_tree_shapes_match(
+        converted["batch_stats"],
+        jax.tree_util.tree_map(np.asarray, variables["batch_stats"]),
+    )
+
+    # Values must round-trip bit-exactly (transposes only, no arithmetic).
+    flat_a = jax.tree_util.tree_leaves(converted)
+    flat_b = jax.tree_util.tree_leaves(
+        jax.tree_util.tree_map(np.asarray, dict(variables))
+    )
+    for a, b in zip(flat_a, flat_b):
+        np.testing.assert_array_equal(a, b)
+
+    # End-to-end: the converted msgpack loads through FaceDetector and
+    # decodes identically to the original variables on a rendered scene.
+    msgpack_path = tmp_path / "scrfd_converted.msgpack"
+    with open(msgpack_path, "wb") as f:
+        f.write(serialization.msgpack_serialize(
+            serialization.to_state_dict(converted)))
+
+    from deepfake_vit_tpu.data.synth_faces import render_scene
+
+    img, _, _ = render_scene(np.random.default_rng(11), size=128, max_faces=1,
+                             min_face=48, max_face=100, p_empty=0.0)
+    images = img[None].astype(np.float32)
+
+    fd_a = FaceDetector(confidence_threshold=0.0, input_size=(128, 128),
+                        keep_top_k=1, pretrained=False)
+    fd_a.variables = variables
+    fd_b = FaceDetector(confidence_threshold=0.0, input_size=(128, 128),
+                        keep_top_k=1, pretrained=False)
+    fd_b.load_weights(str(msgpack_path))
+
+    out_a = fd_a.detect_batch_raw(images)
+    out_b = fd_b.detect_batch_raw(images)
+    for k in ("boxes", "scores", "landmarks", "valid"):
+        np.testing.assert_array_equal(np.asarray(out_a[k]), np.asarray(out_b[k]))
+
+
+def test_convert_checkpoint_cli_detector_kind(tmp_path):
+    """scripts/convert_checkpoint.py --kind detector writes a msgpack that
+    FaceDetector.load_weights accepts."""
+    import os
+    import subprocess
+    import sys as _sys
+    from pathlib import Path as _Path
+
+    from deepfake_vit_tpu.models.convert import export_scrfd_torch_layout
+    from deepfake_vit_tpu.models.scrfd import ScrfdDetector
+    from deepfake_vit_tpu.preprocessing.detector import FaceDetector
+
+    det = ScrfdDetector()
+    variables = det.init(jax.random.PRNGKey(9), jnp.zeros((1, 64, 64, 3)))
+    sd = export_scrfd_torch_layout(jax.tree_util.tree_map(np.asarray, variables))
+    pth = tmp_path / "ext.pth"
+    torch.save({k: torch.tensor(v) for k, v in sd.items()}, pth)
+
+    repo = _Path(__file__).resolve().parents[1]
+    out = tmp_path / "det.msgpack"
+    env = {k: v for k, v in os.environ.items() if k != "PALLAS_AXON_POOL_IPS"}
+    env.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               PYTHONPATH=str(repo))
+    proc = subprocess.run(
+        [_sys.executable, str(repo / "scripts" / "convert_checkpoint.py"),
+         "--kind", "detector", "--input", str(pth), "--output", str(out)],
+        capture_output=True, text=True, timeout=600, env=env,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    assert out.exists()
+    fd = FaceDetector(confidence_threshold=0.0, input_size=(128, 128),
+                      keep_top_k=1, pretrained=False)
+    fd.load_weights(str(out))
