@@ -54,7 +54,8 @@ def load_annotations(path: str):
         return json.load(f)
 
 
-def make_batch(records, indices, input_size: int, max_faces: int):
+def make_batch(records, indices, input_size: int, max_faces: int,
+               domain_aug: float = 0.0, aug_rng=None):
     import cv2
 
     B = len(indices)
@@ -68,6 +69,22 @@ def make_batch(records, indices, input_size: int, max_faces: int):
         if bgr is None:
             continue
         rgb = cv2.cvtColor(bgr, cv2.COLOR_BGR2RGB)
+        if domain_aug and aug_rng is not None and aug_rng.uniform() < domain_aug:
+            # Photometric domain-shift augmentation (geometry untouched, so
+            # boxes/landmarks stay exact). Closes the measured holes of the
+            # shifted-domain suite (BASELINE.md round-4 table) by exposing
+            # training to the statistics the base renderer never emits.
+            from deepfake_vit_tpu.data.domain_shift import SHIFTS
+
+            from deepfake_vit_tpu.data.domain_shift import augment_clutter
+
+            choices = list(SHIFTS) + ["clutter"]
+            shift = choices[int(aug_rng.integers(len(choices)))]
+            if shift == "clutter":
+                gt = np.asarray(rec.get("boxes", []), np.float32).reshape(-1, 4)
+                rgb = augment_clutter(rgb, gt, aug_rng)
+            else:
+                rgb = SHIFTS[shift](rgb, aug_rng)
         h, w = rgb.shape[:2]
         scale = min(input_size / w, input_size / h)
         nw, nh = int(round(w * scale)), int(round(h * scale))
@@ -109,6 +126,10 @@ def main():
     parser.add_argument("--save-every", type=int, default=10,
                         help="also write --save every N epochs (crash safety)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--domain-aug", type=float, default=0.0,
+                        help="probability of applying a photometric domain-"
+                        "shift or safe-clutter augmentation per image "
+                        "(data/domain_shift.py; geometry/labels unchanged)")
     args = parser.parse_args()
     if not args.annotations and not args.synthetic:
         parser.error("one of --annotations or --synthetic is required")
@@ -224,7 +245,8 @@ def main():
             if len(idx) < args.batch_size:
                 break
             batch = shard_batch(
-                make_batch(records, idx, args.input_size, args.max_faces), mesh
+                make_batch(records, idx, args.input_size, args.max_faces,
+                           domain_aug=args.domain_aug, aug_rng=rng), mesh
             )
             params, stats, opt_state, metrics = step(params, stats, opt_state, batch)
             losses.append(metrics)
