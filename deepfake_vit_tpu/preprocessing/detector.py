@@ -36,6 +36,7 @@ DEFAULT_WEIGHTS_BY_MODEL = {
     "mtcnn": _WEIGHTS_DIR / "mtcnn_lite_synface.msgpack",
     "hog": _WEIGHTS_DIR / "hog_synface.msgpack",
     "lite": _WEIGHTS_DIR / "lite_synface.msgpack",
+    "refine": _WEIGHTS_DIR / "refine_synface.msgpack",
 }
 
 
@@ -87,6 +88,9 @@ class FaceDetector:
         seed: int = 0,
         pretrained: bool = True,
         model_name: str = "scrfd",
+        refine: bool = False,
+        refine_threshold: float = 0.7,
+        refine_top_k: int = 4,
     ):
         self.confidence_threshold = confidence_threshold
         self.nms_threshold = nms_threshold
@@ -106,13 +110,33 @@ class FaceDetector:
         else:
             self.variables = params
 
+        # Optional cascade stage-2 (MTCNN R/O-Net semantics,
+        # models/refine_net.py): appended INSIDE the same jit graph —
+        # contrast the reference's per-stage host re-entry
+        # (face_detector.py:33-39, facenet-pytorch MTCNN).
+        self.refiner = None
+        self.refiner_variables: Dict[str, Any] = {}
+        self.refine_threshold = refine_threshold
+        self.refine_top_k = refine_top_k
+        if refine:
+            from ..models.refine_net import REFINE_CROP, RefineNet
+
+            self.refiner = RefineNet()
+            dummy_c = jnp.zeros((1, REFINE_CROP, REFINE_CROP, 3), jnp.float32)
+            self.refiner_variables = self.refiner.init(
+                jax.random.PRNGKey(seed + 1), dummy_c
+            )
+            rdefault = default_weights_path("refine")
+            if pretrained and rdefault:
+                self.load_refiner_weights(rdefault)
+
         centers, strides = all_anchor_centers(self.input_size)
         self._centers = jnp.asarray(centers)
         self._strides = jnp.asarray(strides)
         self._detect_jit = jax.jit(self._detect_graph)
 
     # -- jitted core ------------------------------------------------------
-    def _detect_graph(self, variables, images: jnp.ndarray):
+    def _detect_graph(self, variables, refiner_variables, images: jnp.ndarray):
         """images: (B, H, W, 3) uint8/float raw RGB [0,255]. Returns padded dets."""
         x = (images.astype(jnp.float32) - 127.5) / 128.0
         outs = self.model.apply(variables, x, train=False)
@@ -134,12 +158,24 @@ class FaceDetector:
         sel_boxes = jnp.take_along_axis(boxes, safe[..., None], axis=1)
         sel_scores = jnp.take_along_axis(scores, safe, axis=1)
         sel_lms = jnp.take_along_axis(landmarks, safe[..., None, None], axis=1)
-        return {
+        dets = {
             "boxes": sel_boxes,
             "scores": jnp.where(valid, sel_scores, 0.0),
             "landmarks": sel_lms,
             "valid": valid,
         }
+        if self.refiner is not None:
+            from ..models.refine_net import refine_detections
+
+            dets = refine_detections(
+                self.refiner.apply,
+                refiner_variables,
+                x,
+                dets,
+                top_k=self.refine_top_k,
+                refine_threshold=self.refine_threshold,
+            )
+        return dets
 
     # -- host API ----------------------------------------------------------
     def _prepare(self, image: np.ndarray) -> Tuple[np.ndarray, float]:
@@ -165,7 +201,7 @@ class FaceDetector:
         images = jnp.asarray(images)
         if images.dtype != jnp.uint8:
             images = images.astype(jnp.float32)
-        out = self._detect_jit(self.variables, images)
+        out = self._detect_jit(self.variables, self.refiner_variables, images)
         return jax.device_get(out)
 
     def detect(self, image: np.ndarray) -> Optional[Dict[str, Any]]:
@@ -223,6 +259,18 @@ class FaceDetector:
             state = serialization.msgpack_restore(f.read())
         self.variables = serialization.from_state_dict(self.variables, state)
 
+    def load_refiner_weights(self, path: str) -> None:
+        """Load cascade stage-2 (RefineNet) weights; requires refine=True."""
+        from flax import serialization
+
+        if self.refiner is None:
+            raise ValueError("detector built without refine=True")
+        with open(path, "rb") as f:
+            state = serialization.msgpack_restore(f.read())
+        self.refiner_variables = serialization.from_state_dict(
+            self.refiner_variables, state
+        )
+
     @staticmethod
     def get_face_roi(
         image: np.ndarray, bbox: np.ndarray, margin: float = 0.2
@@ -253,6 +301,12 @@ def create_face_detector(config: Dict[str, Any]) -> FaceDetector:
         keep_top_k=config.get("keep_top_k", 1),
         input_size=tuple(scrfd_cfg.get("input_size", (640, 640))),
         max_detections=scrfd_cfg.get("max_detections", 64),
+        # Cascade stage-2 toggle (models/refine_net.py) — the reference
+        # MTCNN's refinement-stage semantics, thresholds [0.6, 0.7, 0.8]
+        # (face_detector.py:33-39), as config keys.
+        refine=bool(config.get("refine", False)),
+        refine_threshold=config.get("refine_threshold", 0.7),
+        refine_top_k=config.get("refine_top_k", 4),
     )
     if model == "mtcnn":
         # The reference's fallback detector family (face_detector.py:12-192)

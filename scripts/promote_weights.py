@@ -59,6 +59,13 @@ FAMILY_TESTS = {
         ],
         "hog_synface.msgpack",
     ),
+    "refine": (
+        [
+            "tests/test_refine_net.py::test_cascade_does_not_hurt_and_gates_clutter",
+            "tests/test_refine_net.py::test_cascade_clutter_suppression",
+        ],
+        "refine_synface.msgpack",
+    ),
 }
 
 

@@ -113,12 +113,14 @@ def main():
     parser.add_argument("--epochs", type=int, default=50)
     parser.add_argument("--lr", type=float, default=1e-3)
     parser.add_argument("--model", type=str, default="scrfd",
-                        choices=("scrfd", "mtcnn", "hog", "lite"),
+                        choices=("scrfd", "mtcnn", "hog", "lite", "refine"),
                         help="detector family: scrfd (production), mtcnn (lite "
                         "second family), lite (S2D-Lite, the TPU-first "
-                        "ultra-light net — models/lite_detector.py), or hog "
+                        "ultra-light net — models/lite_detector.py), hog "
                         "(the dlib-fallback linear template — trained by SVM "
-                        "fitting with hard-negative mining, not SGD epochs)")
+                        "fitting with hard-negative mining, not SGD epochs), "
+                        "or refine (the cascade stage-2 crop refiner, "
+                        "models/refine_net.py — MTCNN R/O-Net analog)")
     parser.add_argument("--resume", type=str, default=None,
                         help="msgpack weights to continue from (crash recovery / "
                         "fine-tuning; parallels train.py --resume)")
@@ -195,11 +197,21 @@ def main():
     logger.info(f"{len(records)} annotated images")
     size = (args.input_size, args.input_size)
 
-    model = build_detection_net(args.model)
+    if args.model == "refine":
+        # Cascade stage-2: trains on sampled crop slates, not anchor maps.
+        from deepfake_vit_tpu.models.refine_net import REFINE_CROP, RefineNet
+        from deepfake_vit_tpu.training.refinement import (
+            make_refiner_train_step, sample_refine_targets)
+
+        model = RefineNet()
+        init_shape = (1, REFINE_CROP, REFINE_CROP, 3)
+    else:
+        model = build_detection_net(args.model)
+        init_shape = (1, *size, 3)
     cpu = jax.devices("cpu")[0]
     with jax.default_device(cpu):
         variables = model.init(
-            jax.random.PRNGKey(args.seed), jnp.zeros((1, *size, 3), jnp.float32)
+            jax.random.PRNGKey(args.seed), jnp.zeros(init_shape, jnp.float32)
         )
     if args.resume:
         with open(args.resume, "rb") as f:
@@ -216,7 +228,10 @@ def main():
     opt_state = jax.device_put(opt_state, dev)
 
     mesh = data_parallel_mesh()
-    step = make_detector_train_step(model, optimizer, size, mesh)
+    if args.model == "refine":
+        step = make_refiner_train_step(model, optimizer, mesh=mesh)
+    else:
+        step = make_detector_train_step(model, optimizer, size, mesh)
 
     out = Path(args.save)
     out.parent.mkdir(parents=True, exist_ok=True)
@@ -244,10 +259,11 @@ def main():
             idx = order[s * args.batch_size : (s + 1) * args.batch_size]
             if len(idx) < args.batch_size:
                 break
-            batch = shard_batch(
-                make_batch(records, idx, args.input_size, args.max_faces,
-                           domain_aug=args.domain_aug, aug_rng=rng), mesh
-            )
+            batch = make_batch(records, idx, args.input_size, args.max_faces,
+                               domain_aug=args.domain_aug, aug_rng=rng)
+            if args.model == "refine":
+                batch = sample_refine_targets(batch, rng)
+            batch = shard_batch(batch, mesh)
             params, stats, opt_state, metrics = step(params, stats, opt_state, batch)
             losses.append(metrics)
         m = {k: float(np.mean([jax.device_get(x[k]) for x in losses])) for k in
