@@ -189,6 +189,12 @@ class HogFaceDetector(FaceDetector):
         self.input_size = tuple(input_size)
         self.max_detections = max_detections
         self.model_name = "hog"
+        # No cascade stage for the HOG family (the refinement net is a CNN
+        # re-scorer; the HOG template has no use for it) — but the shared
+        # host API (detect_batch_raw) threads refiner_variables through the
+        # jit boundary for every family, so hold the empty tree.
+        self.refiner = None
+        self.refiner_variables: Dict[str, Any] = {}
         self.upsample = upsample
         self._levels = pyramid_sizes(self.input_size, upsample=upsample)
 
@@ -210,8 +216,14 @@ class HogFaceDetector(FaceDetector):
         self._detect_jit = jax.jit(self._detect_graph)
 
     # -- jitted core ------------------------------------------------------
-    def _detect_graph(self, variables, images: jnp.ndarray):
-        """images: (B, H, W, 3) uint8/float RGB [0,255] → padded dets."""
+    def _detect_graph(self, variables, refiner_variables, images: jnp.ndarray):
+        """images: (B, H, W, 3) uint8/float RGB [0,255] → padded dets.
+
+        ``refiner_variables`` is unused (always the empty tree — no cascade
+        for this family) but kept so the base class's jitted call signature
+        is uniform across families.
+        """
+        del refiner_variables
         template = variables["template"]
         bias = variables["bias"]
         gray = jnp.asarray(images, jnp.float32) @ jnp.array(

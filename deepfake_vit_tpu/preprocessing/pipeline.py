@@ -111,8 +111,12 @@ class PreprocessingPipeline:
             if self.quality_checker.enabled else None
         )
 
+        # The fused graph closes over the (possibly empty) refiner tree —
+        # cascade refinement rides inside the one dispatch when enabled.
+        refiner_vars = detector.refiner_variables
+
         def graph(det_vars, frames):
-            out = detector._detect_graph(det_vars, frames)
+            out = detector._detect_graph(det_vars, refiner_vars, frames)
             # Best face per frame: argmax score among valid — the same
             # top-1 the host-side argsort picks (first max wins ties).
             masked = jnp.where(out["valid"], out["scores"], -jnp.inf)

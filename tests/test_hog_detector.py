@@ -133,6 +133,7 @@ def test_landmarks_at_canonical_fractions():
             "template": rng.normal(0, 0.1, (9, 9, 36)).astype(np.float32),
             "bias": np.float32(5.0),  # everything fires; geometry is what we test
         },
+        det.refiner_variables,
         rng.uniform(0, 255, (1, 160, 160, 3)).astype(np.float32),
     )
     box = np.asarray(out["boxes"][0][0])
