@@ -140,6 +140,11 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
         # (σ=127, β=0.5 baked into the LHS so the truncating float→int8
         # convert rounds) so the channel-stacked matmul runs s8×s8→s32 at
         # 2× the bf16 MXU rate.
+        # Mosaic (real backend, v5e) rejects non-32-bit matmul accumulators
+        # ("'tpu.matmul' op Expected matmul acc to be 32-bit" — measured in
+        # the round-4 on-chip sweep; interpret mode accepted bf16). So the
+        # MXU always accumulates f32 and "uw16" takes its one extra bf16
+        # rounding in the RESULT cast instead of the accumulator.
         acc = jnp.bfloat16 if construction == "uw16" else jnp.float32
         Hs2 = tconst_ref.shape[0] // 2
         Ws2 = sconst_ref.shape[0] // 2
@@ -149,9 +154,9 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
         UW = jax.lax.dot_general(
             tconst_ref[...], rhs_y,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc,
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
+        ).astype(acc)
         if construction == "int8":
             V = jnp.maximum(
                 jnp.minimum(UW[:Hs2], UW[Hs2:]), jnp.zeros((), acc)
@@ -164,9 +169,9 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
         UWx = jax.lax.dot_general(
             sconst_ref[...], rhs_x,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=acc,
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
+        ).astype(acc)
         H = jnp.maximum(
             jnp.minimum(UWx[:Ws2], UWx[Ws2:]), jnp.zeros((), acc)
         ).astype(jnp.bfloat16)
@@ -433,12 +438,13 @@ def _crop_pool_kernel(
                      jnp.ones((1, WcC), jnp.float32),
                      jnp.zeros((6, WcC), jnp.float32)], axis=0
                 )  # (8, WcC): shared RHS [[jx + x0], [1], 0…]
+                # f32 acc (Mosaic requires 32-bit), bf16 result cast.
                 UWx = jax.lax.dot_general(
                     uwlhs_ref[l], rhs,
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.bfloat16,
+                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                )
+                ).astype(jnp.bfloat16)
                 Hp = (
                     jnp.maximum(
                         jnp.minimum(UWx[:WC], UWx[WC:]),
@@ -631,9 +637,12 @@ def _crop_frac_kernel(
             else:
                 # sy is face-dependent → build the (2·window, 8) LHS from
                 # a (window, 1) sublane iota (tiny), shared RHS [[t], [1]].
+                # Mosaic only lowers INTEGER iota ("'tpu.iota' op result #0
+                # must be vector of integer or index values" — round-4
+                # on-chip sweep); build int32 and convert.
                 o_col = jax.lax.broadcasted_iota(
-                    jnp.float32, (window, 1), 0
-                )
+                    jnp.int32, (window, 1), 0
+                ).astype(jnp.float32)
                 sy = offy + (o_col + 0.5) * r - 0.5
                 ones_c = jnp.ones((window, 1), jnp.float32)
                 zeros_c = jnp.zeros((window, 6), jnp.float32)
@@ -648,9 +657,9 @@ def _crop_frac_kernel(
                 UW = jax.lax.dot_general(
                     lhs, tlane_ref[:, :rows],
                     dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.bfloat16,
+                    preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                )
+                ).astype(jnp.bfloat16)
                 V = jnp.maximum(
                     jnp.minimum(UW[:window], UW[window:]),
                     jnp.zeros((), jnp.bfloat16),
@@ -689,9 +698,9 @@ def _crop_frac_kernel(
         UWx = jax.lax.dot_general(
             uwlhs_ref[...], rhs,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.bfloat16,
+            preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        )
+        ).astype(jnp.bfloat16)
         Hx = (
             jnp.maximum(
                 jnp.minimum(UWx[:WC], UWx[WC:]),
