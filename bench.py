@@ -12,13 +12,16 @@ own — BASELINE.md).
 Secondary numbers (classify-only throughput, step latency) go to stderr so
 the stdout contract stays one line.
 
-Headline selection: the settled round-3 configuration (serving 640² /
-detect 320² / w160 block windowed warp / static-int8 tail from stage 3) is
-the control; the gated round-3-continuation candidates (fractional w128
-crop, rank-2/int8 tap construction, int8 SCRFD detector, and — once its
-trained weights land — the S2D-Lite detector family) are measured
-against it in one same-process A/B sweep (scripts/probe_serving.py) and the
-best fidelity-cleared config wins. Every candidate is already cleared on
+Headline selection: the settled round-4 configuration (serving 640² /
+detect 320² / FRACTIONAL w128 windowed warp / static-int8 tail from
+stage 3) is the control — it beat the round-3 w160-block control 3,971.3
+vs 3,489.9 faces/s (+13.8%) in the round-4 same-process sweep, and it is
+the fidelity-BETTER config (lower pooled crop RMSE in every face-size bin,
+BASELINE.md round-3 fidelity table). The remaining gated candidates
+(rank-2/int8 tap construction — Mosaic-fixed this round, int8 SCRFD
+detector, and — once its trained weights land — the S2D-Lite detector
+family) are measured against it in one same-process A/B sweep
+(scripts/probe_serving.py) and the best fidelity-cleared config wins. Every candidate is already cleared on
 the accuracy axis (BASELINE.md round-3 fidelity table: w128-fractional has
 LOWER pooled crop RMSE than w160-block; the tap-construction modes are
 bitwise-identical; the int8 detector holds the detection acceptance bars in
@@ -74,12 +77,12 @@ def _default_tokens():
     presence IS the fidelity gate, matching the candidate-clearance rule
     in the module docstring.
     """
-    toks = ["160b", "128f-uw16", "128f-int8+d", "128f", "160b-uw16"]
+    toks = ["128f", "128f+d", "128f-uw16", "128f-int8+d", "160b", "160b-uw16"]
     from deepfake_vit_tpu.preprocessing.detector import default_weights_path
 
     if default_weights_path("lite"):
-        toks.insert(2, "160b+L")
-        toks.insert(4, "128f-uw16+L")
+        toks.insert(2, "128f+L")
+        toks.insert(5, "160b+L")
     return ",".join(toks)
 
 
@@ -174,7 +177,7 @@ def _candidate_sweep(batch, tokens, timeout_s=2100):
     return results
 
 
-def _pick_headline(results, control_label="w160block-legacy", margin=1.02):
+def _pick_headline(results, control_label="w128frac-legacy", margin=1.02):
     """Pick (fps, cfg_note) from sweep records, or (None, None).
 
     The control must be present (it anchors the same-process A/B); a
@@ -186,7 +189,7 @@ def _pick_headline(results, control_label="w160block-legacy", margin=1.02):
     if ctrl is None:
         return None, None
     fps = ctrl["faces_per_sec"]
-    cfg = f"{control_label} (settled round-3 config)"
+    cfg = f"{control_label} (settled round-4 config)"
     cands = [r for r in ok if r["label"] != control_label]
     if cands:
         best = max(cands, key=lambda r: r["faces_per_sec"])
@@ -204,9 +207,10 @@ def _build_headline(model_config, batch, serving, det_size):
     (preprocessing_config.yaml:12-15 detects at 640²) as uint8 (the
     serving wire format — 4× less H2D than f32); detection runs via the
     stem-folded SCRFD (the 2× pool rides the first conv), alignment warps
-    from the ORIGINAL 640² pixels via the pool-fused windowed warp at the
-    fidelity-first window 160, and the classifier runs the parity-gated
-    int8 late-stage tail (tests/test_int8_tail.py). Detection quality at
+    from the ORIGINAL 640² pixels via the pool-fused FRACTIONAL w128
+    windowed warp (round-4 sweep winner: +13.8% over w160-block AND lower
+    pooled crop RMSE in every bin), and the classifier runs the
+    parity-gated int8 late-stage tail (tests/test_int8_tail.py). Detection quality at
     the 320² canvas is held by the trained-weights acceptance tests
     (tests/test_detector_trained.py).
     """
@@ -221,7 +225,8 @@ def _build_headline(model_config, batch, serving, det_size):
 
     pipe = FusedPipeline(model_config, detection_input_size=det_size,
                          serving_size=serving, confidence_threshold=0.0,
-                         use_int8_tail=True, int8_tail_start=10)
+                         use_int8_tail=True, int8_tail_start=10,
+                         warp_window=128, warp_fractional=True)
     # Initialize on the host CPU backend (local, fast compile), then move to
     # the accelerator — compiles over the TPU tunnel cost minutes each.
     cpu = jax.devices("cpu")[0]
@@ -274,7 +279,7 @@ def main():
         sys.exit(1)
 
     headline_fps = None
-    headline_cfg = "w160-block legacy taps (settled round-3 config)"
+    headline_cfg = "w128-fractional legacy taps (settled round-4 config)"
 
     # Child-first measurement (see _candidate_sweep): the child re-measures
     # the control under the identical protocol, then A/Bs the candidates in
@@ -305,7 +310,8 @@ def main():
         headline_fps = batch / t
         print(f"end-to-end: {headline_fps:.1f} faces/s (batch {batch}, "
               f"{t*1e3:.2f} ms/step, serving 640² / detect 320² / "
-              f"static-int8 tail from stage 3 / window 160)", file=sys.stderr)
+              f"static-int8 tail from stage 3 / fractional window 128)",
+              file=sys.stderr)
         headline_cfg += " [in-process fallback]"
 
     print(f"headline config: {headline_cfg}", file=sys.stderr)

@@ -21,37 +21,39 @@ def _load_bench():
 
 bench = _load_bench()
 
-CTRL = {"label": "w160block-legacy", "faces_per_sec": 3480.0, "ms": 73.56}
+# The round-4 settled control: fractional w128 legacy taps (the measured
+# sweep winner — 3,971.3 vs 3,489.9 faces/s over the round-3 w160 block).
+CTRL = {"label": "w128frac-legacy", "faces_per_sec": 3971.3, "ms": 64.46}
 
 
 def test_control_only_keeps_control():
     fps, cfg = bench._pick_headline([CTRL])
-    assert fps == 3480.0
+    assert fps == 3971.3
     assert "settled" in cfg
 
 
 def test_candidate_win_flips():
-    cand = {"label": "w128frac-uw16", "faces_per_sec": 4100.0, "ms": 62.4}
+    cand = {"label": "w128frac-uw16", "faces_per_sec": 4400.0, "ms": 58.2}
     fps, cfg = bench._pick_headline([CTRL, cand])
-    assert fps == 4100.0
+    assert fps == 4400.0
     assert "w128frac-uw16" in cfg and "candidate pick" in cfg
 
 
 def test_within_margin_keeps_control():
     # A 1% "win" is inside same-process noise — the control stays.
-    cand = {"label": "w128frac-uw16", "faces_per_sec": 3510.0}
+    cand = {"label": "w128frac-uw16", "faces_per_sec": 4000.0}
     fps, _ = bench._pick_headline([CTRL, cand])
-    assert fps == 3480.0
+    assert fps == 3971.3
 
 
 def test_failed_and_slower_candidates_never_win():
     records = [
         CTRL,
         {"label": "w128frac-int8+int8det", "error": "MosaicError: s8 dot"},
-        {"label": "w128frac-legacy", "faces_per_sec": 3200.0},
+        {"label": "w160block-legacy", "faces_per_sec": 3489.9},
     ]
     fps, _ = bench._pick_headline(records)
-    assert fps == 3480.0
+    assert fps == 3971.3
 
 
 def test_no_control_yields_none():
@@ -66,12 +68,12 @@ def test_no_control_yields_none():
 def test_best_of_multiple_candidates():
     records = [
         CTRL,
-        {"label": "w128frac-uw16", "faces_per_sec": 3900.0},
-        {"label": "w128frac-int8+int8det", "faces_per_sec": 4400.0},
+        {"label": "w128frac-uw16", "faces_per_sec": 4200.0},
+        {"label": "w128frac-int8+int8det", "faces_per_sec": 4600.0},
         {"label": "w160block-uw16", "faces_per_sec": 3700.0},
     ]
     fps, cfg = bench._pick_headline(records)
-    assert fps == 4400.0 and "w128frac-int8+int8det" in cfg
+    assert fps == 4600.0 and "w128frac-int8+int8det" in cfg
 
 
 def _load_probe_serving():
@@ -130,7 +132,7 @@ def test_default_tokens_gate_on_lite_weights(monkeypatch):
 
     monkeypatch.setattr(det, "default_weights_path", lambda m="scrfd": None)
     toks = bench._default_tokens().split(",")
-    assert toks[0] == "160b" and not any(t.endswith("+L") for t in toks)
+    assert toks[0] == "128f" and not any(t.endswith("+L") for t in toks)
 
     monkeypatch.setattr(
         det, "default_weights_path",
@@ -138,5 +140,5 @@ def test_default_tokens_gate_on_lite_weights(monkeypatch):
     )
     toks = bench._default_tokens().split(",")
     # Control stays first (it anchors the A/B); lite combos are present.
-    assert toks[0] == "160b"
-    assert "160b+L" in toks and "128f-uw16+L" in toks
+    assert toks[0] == "128f"
+    assert "128f+L" in toks and "160b+L" in toks
