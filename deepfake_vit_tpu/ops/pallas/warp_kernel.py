@@ -47,7 +47,7 @@ def _auto_row_chunk(Hs: int, Ws: int, Wo: int, C: int,
     regression this function guards against), (320+320)·16·224 ≈ 2.3M is
     the long-standing round-2 production point. ``live_planes`` scales the
     model for construction modes whose peak holds more simultaneous f32
-    tap planes than the legacy chain's two (the f32 U/W mode holds 3)."""
+    tap planes than the legacy chain's two."""
     for R in (32, 16, 8, 4, 2, 1):
         if (Hs + Ws) * R * Wo * live_planes <= budget_units * 2:
             return R
@@ -56,40 +56,46 @@ def _auto_row_chunk(Hs: int, Ws: int, Wo: int, C: int,
 
 def _tri_uw_lhs(coords, dtype, scale: float = 1.0, bias: float = 0.0,
                 valid: int = None) -> "jnp.ndarray":
-    """Constant LHS for the rank-2 tap construction (see _warp_kernel):
-    rows [−σ, σ(1+t)+β, 0…] for the U block, [+σ, σ(1−t)+β, 0…] for the
-    W block, so with the shared RHS [[s], [1], 0…] one MXU matmul yields
-    U[t] = σ·(1 − (s − t)) + β and W[t] = σ·(1 + (s − t)) + β stacked on
-    sublanes, and max(0, min(U, W)) = σ·tri(s − t) + β on the support —
-    at σ=1, β=0 bitwise the classic max(0, 1−|d|); σ=127, β=0.5 bakes the
-    int8 quantization (+0.5 so the truncating float→int8 convert rounds).
-    K is padded to the f32 sublane tile (8). ``size`` must be a multiple
-    of 16 (bf16 sublane tile) so the U/W halves slice cleanly. Rows
-    ≥ ``valid`` (source padding) get [0, −1] — always-zero taps — needed
-    whenever padded source rows are NOT zero pixels (the int8 mode's
-    shifted pixels decode pad zeros as 128).
+    """Constant LHS for the rank-1 tap construction (see _warp_kernel):
+    rows [+σ, σ(1−t)+β, 0…], so with the shared RHS [[s], [1], 0…] one
+    MXU matmul yields U[t] = σ·(1 − (s − t)) + β, and with c = σ + β the
+    tri taps follow from ONE plane: since the W companion satisfies
+    W = 2c − U identically (U + W = 2σ + 2β), max(0, min(U, W)) =
+    max(β, c − |U − c|) — at σ=1, β=0 bitwise the classic max(0, 1−|d|);
+    σ=127, β=0.5 bakes the int8 quantization (+0.5 so the truncating
+    float→int8 convert rounds; out-of-support values land at β=0.5 and
+    truncate to 0). Round 4: the stacked 2-block [U; W] form made the
+    matmul output the largest scoped-VMEM stack tensor — the crop kernels
+    OOMed the 16 MB limit by 4.15 MB at WC=1920 — so the W block is gone.
+    K is padded to the f32 sublane tile (8). Rows ≥ ``valid`` (source
+    padding) get [0, −1] — U = −1 → c − |−1 − c| = −1 → tap β → 0 —
+    needed whenever padded source rows are NOT zero pixels (the int8
+    mode's shifted pixels decode pad zeros as 128).
 
     ``coords``: an int (rows are arange(coords)) or a 1-D coordinate
     vector — the crop kernels pass sx = lane//C (and sx>>l per level) so
-    the same helper builds every U/W LHS in this module."""
+    the same helper builds every U LHS in this module."""
     import numpy as np  # host-side constant
 
     t = (np.arange(coords, dtype=np.float32) if isinstance(coords, int)
          else np.asarray(coords, np.float32))
     size = t.shape[0]
-    lhs = np.zeros((2 * size, 8), np.float32)
-    lhs[:size, 0] = -scale
-    lhs[:size, 1] = scale * (1.0 + t) + bias
-    lhs[size:, 0] = scale
-    lhs[size:, 1] = scale * (1.0 - t) + bias
+    lhs = np.zeros((size, 8), np.float32)
+    lhs[:, 0] = scale
+    lhs[:, 1] = scale * (1.0 - t) + bias
     if valid is not None and valid < size:
-        lhs[valid:size, 0] = 0.0
-        lhs[valid:size, 1] = -1.0
-        lhs[size + valid:, 0] = 0.0
-        lhs[size + valid:, 1] = -1.0
+        lhs[valid:, 0] = 0.0
+        lhs[valid:, 1] = -1.0
     # Host numpy, NOT jnp: this runs inside jitted wrappers where a jnp
     # constant would become a tracer the numpy-side stacking can't consume.
     return lhs.astype(np.dtype(dtype))
+
+
+def _tri_from_u(U, c: float, beta: float = 0.0):
+    """tri taps from the U plane alone: max(β, c − |U − c|) (see
+    _tri_uw_lhs). One abs + one sub + one max — fewer VPU passes than the
+    two-block min/max AND half the matmul-output stack footprint."""
+    return jnp.maximum(c - jnp.abs(U - c), beta)
 
 
 def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
@@ -128,53 +134,43 @@ def _warp_kernel(coef_ref, imgT_ref, tconst_ref, sconst_ref, out_ref, *,
             0.0, 1.0 - jnp.abs(sx - sconst_ref[...])
         ).astype(jnp.bfloat16)
     else:
-        # Rank-2 MXU construction (_tri_uw_lhs): one (2·size, 8)@(8, n)
-        # matmul emits U = 1−(s−t) and W = 1+(s−t) stacked on sublanes;
-        # tri = max(0, min(U, W)) — the same values as 1−|s−t| (min picks
-        # the ≤1 branch), so the VPU does 2–3 passes instead of 5. "uw"
-        # accumulates U/W in f32 (taps bit-identical to legacy up to FMA
-        # association); "uw16" lets the MXU emit bf16 U/W — one extra
-        # bf16 rounding at the |d|≈0 boundary (ulp(1)=2⁻⁷, same class as
-        # the legacy chain's final cast) and one fewer VPU pass + half
-        # the U/W VMEM. "int8" additionally quantizes the V taps to q7
-        # (σ=127, β=0.5 baked into the LHS so the truncating float→int8
-        # convert rounds) so the channel-stacked matmul runs s8×s8→s32 at
-        # 2× the bf16 MXU rate.
-        # Mosaic (real backend, v5e) rejects non-32-bit matmul accumulators
-        # ("'tpu.matmul' op Expected matmul acc to be 32-bit" — measured in
-        # the round-4 on-chip sweep; interpret mode accepted bf16). So the
-        # MXU always accumulates f32 and "uw16" takes its one extra bf16
-        # rounding in the RESULT cast instead of the accumulator.
-        acc = jnp.bfloat16 if construction == "uw16" else jnp.float32
-        Hs2 = tconst_ref.shape[0] // 2
-        Ws2 = sconst_ref.shape[0] // 2
+        # Rank-1 MXU construction (_tri_uw_lhs): one (size, 8)@(8, n)
+        # matmul emits U = σ(1−(s−t))+β; tri follows from the single U
+        # plane as max(β, c−|U−c|) with c = σ+β (the W companion is
+        # identically 2c−U, so it never needs its own matmul rows — see
+        # _tri_from_u). Fewer VPU passes than the legacy 5 AND half the
+        # matmul-output stack footprint vs the round-3 [U; W] form (the
+        # crop kernels OOMed the 16 MB scoped-VMEM limit with it). "uw"
+        # keeps the tri plane f32; "uw16" rounds it to bf16 (one extra
+        # bf16 rounding at the |d|≈0 boundary, ulp(1)=2⁻⁷ — the same
+        # class as the legacy chain's final cast); "int8" bakes σ=127,
+        # β=0.5 so the truncating float→int8 convert rounds, and the
+        # channel-stacked matmul runs s8×s8→s32 at 2× the bf16 MXU rate.
+        # Mosaic (real backend, v5e) rejects non-32-bit matmul
+        # accumulators, so the MXU always accumulates f32.
         ones = jnp.ones((1, n), jnp.float32)
         zeros = jnp.zeros((6, n), jnp.float32)
         rhs_y = jnp.concatenate([sy, ones, zeros], axis=0)  # (8, n)
-        UW = jax.lax.dot_general(
+        U = jax.lax.dot_general(
             tconst_ref[...], rhs_y,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        ).astype(acc)
+        )
         if construction == "int8":
-            V = jnp.maximum(
-                jnp.minimum(UW[:Hs2], UW[Hs2:]), jnp.zeros((), acc)
-            ).astype(jnp.int8)  # q7 taps: trunc(127·tri + 0.5) = round
+            # q7 taps: trunc(127·tri + 0.5) = round; out-of-support and
+            # invalid-row values land at β=0.5 and truncate to 0.
+            V = _tri_from_u(U, 127.5, 0.5).astype(jnp.int8)
         else:
-            V = jnp.maximum(
-                jnp.minimum(UW[:Hs2], UW[Hs2:]), jnp.zeros((), acc)
-            ).astype(jnp.bfloat16)
+            V = _tri_from_u(U, 1.0).astype(jnp.bfloat16)
         rhs_x = jnp.concatenate([sx, ones, zeros], axis=0)
-        UWx = jax.lax.dot_general(
+        Ux = jax.lax.dot_general(
             sconst_ref[...], rhs_x,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        ).astype(acc)
-        H = jnp.maximum(
-            jnp.minimum(UWx[:Ws2], UWx[Ws2:]), jnp.zeros((), acc)
-        ).astype(jnp.bfloat16)
+        )
+        H = _tri_from_u(Ux, 1.0).astype(jnp.bfloat16)
 
     # ONE channel-stacked matmul: (C·Ws, Hs) @ (Hs, n). M = C·Ws fills the
     # MXU's 128-row passes (~94% M-utilization at C=3, Ws=160) where the
@@ -243,9 +239,9 @@ def warp_affine_pallas(
     (inverted internally unless ``inverse``). Returns (B, Ho, Wo, C) f32.
 
     ``construction`` selects the tap-weight build (the measured 2/3 cost of
-    this kernel): "legacy" (5 VPU passes per plane), "uw" (rank-2 MXU U/W,
-    3 passes, tap values identical up to FMA association), "uw16" (bf16
-    U/W, 2 passes, one extra bf16 rounding on the taps), "int8" (uw-style
+    this kernel): "legacy" (5 VPU passes per plane), "uw" (rank-1 MXU U
+    plane + abs chain — tap values identical up to FMA association),
+    "uw16" (same, bf16 tap rounding), "int8" (rank-1
     construction + q7 V taps and shifted-s8 pixels so the channel-stacked
     matmul runs s8×s8→s32 at 2× the bf16 MXU rate; tap quantization error
     2⁻⁷ — roughly 2× the bf16 tap class, ≤ ~2 units on 0-255 output).
@@ -262,7 +258,7 @@ def warp_affine_pallas(
     Ho, Wo = out_size
     Hs_valid, Ws_valid = Hs, Ws
     if construction != "legacy":
-        # U/W halves slice on sublanes: pad sources to the bf16 tile (16;
+        # The U LHS rows pad to sublane tiles: pad sources to the bf16 tile (16;
         # 32 for the s8 image layout). Zero-pixel pad rows/cols contribute
         # nothing in the bf16 modes; the int8 mode zeroes their taps via
         # the ``valid`` LHS rows instead (shifted pads aren't zero pixels).
@@ -276,13 +272,9 @@ def warp_affine_pallas(
     if row_chunk is None:
         # The V/H tap planes scale with (source size × R·Wo); big chunks
         # amortize per-cell overheads for window-sized crops but blow the
-        # 16 MB scoped-VMEM stack for full-frame sources. The f32 U/W mode
-        # holds 3 simultaneous f32 planes at peak (U/W pair + min) vs the
-        # legacy chain's 2.
-        row_chunk = _auto_row_chunk(
-            Hs, Ws, Wo, C,
-            live_planes=3 if construction in ("uw", "int8") else 2,
-        )
+        # 16 MB scoped-VMEM stack for full-frame sources. The rank-1 U
+        # construction peaks at 2 f32 planes (U + |U−c|), same as legacy.
+        row_chunk = _auto_row_chunk(Hs, Ws, Wo, C, live_planes=2)
     R = row_chunk
     while Ho % R != 0:
         R //= 2
@@ -325,11 +317,11 @@ def warp_affine_pallas(
         )
     elif construction == "int8":
         tconst = _tri_uw_lhs(Hs, jnp.float32, scale=127.0, bias=0.5,
-                             valid=Hs_valid)  # (2·Hs, 8), q7 V taps
-        sconst = _tri_uw_lhs(Ws, jnp.float32, valid=Ws_valid)  # (2·Ws, 8)
+                             valid=Hs_valid)  # (Hs, 8), q7 V taps
+        sconst = _tri_uw_lhs(Ws, jnp.float32, valid=Ws_valid)  # (Ws, 8)
     else:
-        tconst = _tri_uw_lhs(Hs, jnp.float32)  # (2·Hs, 8)
-        sconst = _tri_uw_lhs(Ws, jnp.float32)  # (2·Ws, 8)
+        tconst = _tri_uw_lhs(Hs, jnp.float32)  # (Hs, 8)
+        sconst = _tri_uw_lhs(Ws, jnp.float32)  # (Ws, 8)
     t_spec = (pl.BlockSpec(tconst.shape, lambda bi, ki: (0, 0),
                            memory_space=pltpu.VMEM),
               pl.BlockSpec(sconst.shape, lambda bi, ki: (0, 0),
@@ -380,9 +372,9 @@ def _crop_pool_kernel(
     ``construction`` "mxu": Vp arrives as a CONSTANT per-level plane (4⁻ˡ
     folded in — pow-2 scaling keeps t1's rounding bitwise), and Hp is
     tri((sx>>l) − jx − x0)·mask — for integer arguments tri IS the
-    equality indicator — via the rank-2 U/W matmul with per-level constant
+    equality indicator — via the rank-1 U matmul with per-level constant
     LHS (sx>>l baked in): the per-face iota + div/mod + shift + compare
-    passes collapse to min/max/mul over the plane. "legacy" keeps the
+    passes collapse to abs/max/mul over the plane. "legacy" keeps the
     original per-face construction.
     """
     b = pl.program_id(0)
@@ -438,19 +430,18 @@ def _crop_pool_kernel(
                      jnp.ones((1, WcC), jnp.float32),
                      jnp.zeros((6, WcC), jnp.float32)], axis=0
                 )  # (8, WcC): shared RHS [[jx + x0], [1], 0…]
-                # f32 acc (Mosaic requires 32-bit), bf16 result cast.
-                UWx = jax.lax.dot_general(
+                # Rank-1 U plane (f32 acc — Mosaic requires 32-bit);
+                # tri(d) at integer d is exactly the block indicator
+                # [d == 0] (_tri_from_u). The W block would double the
+                # largest stack tensor for nothing (W = 2−U).
+                U = jax.lax.dot_general(
                     uwlhs_ref[l], rhs,
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                ).astype(jnp.bfloat16)
+                )
                 Hp = (
-                    jnp.maximum(
-                        jnp.minimum(UWx[:WC], UWx[WC:]),
-                        jnp.zeros((), jnp.bfloat16),
-                    )
-                    * mask_ref[...]
+                    _tri_from_u(U, 1.0).astype(jnp.bfloat16) * mask_ref[...]
                 ).astype(dt)
             out_ref[0] = jax.lax.dot_general(
                 t1, Hp,
@@ -506,8 +497,9 @@ def crop_window_pool_pallas(
     # Constants for the mxu construction ONLY (the legacy path must not pay
     # their VMEM residency/DMA): per-level Vp planes (4⁻ˡ folded — pow-2
     # exact, so t1's bf16 rounding is bitwise the legacy value), per-level
-    # U/W LHS with sx>>l baked in (_tri_uw_lhs), the output-lane x index
-    # row, and the channel-phase mask (level-independent once 4⁻ˡ is in Vp).
+    # rank-1 U LHS with sx>>l baked in (_tri_uw_lhs), the output-lane x
+    # index row, and the channel-phase mask (level-independent once 4⁻ˡ is
+    # in Vp).
     extra_ops, extra_specs = [], []
     if construction == "mxu":
         vp = np.zeros((levels, window, rows_top), np.float32)
@@ -531,7 +523,7 @@ def crop_window_pool_pallas(
             pl.BlockSpec((levels, window, rows_top),
                          lambda b, y0, x0, lvl, fi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((levels, 2 * WC, 8),
+            pl.BlockSpec((levels, WC, 8),
                          lambda b, y0, x0, lvl, fi: (0, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WcC), lambda b, y0, x0, lvl, fi: (0, 0),
@@ -586,8 +578,8 @@ def _crop_frac_kernel(
     crop = V @ strip @ Hx — identity (bitwise-exact crop) when r == 1,
     since the geometry snaps starts to integers.
 
-    ``construction`` "mxu" builds the tri planes via the rank-2 U/W
-    scheme (see _warp_kernel): V from an in-kernel (2·window, 2) LHS
+    ``construction`` "mxu" builds the tri planes via the rank-1 U
+    scheme (see _warp_kernel): V from an in-kernel (window, 8) LHS
     (sy is face-dependent) against the constant lane-index RHS; Hx from
     the constant ``uwlhs`` (sx = lane//C baked in host-side — no per-face
     iota/div/mod passes) against a tiny face-dependent RHS, masked by the
@@ -635,11 +627,14 @@ def _crop_frac_kernel(
                     0.0, 1.0 - jnp.abs(sy - t_i.astype(jnp.float32))
                 ).astype(dt)
             else:
-                # sy is face-dependent → build the (2·window, 8) LHS from
+                # sy is face-dependent → build the (window, 8) U LHS from
                 # a (window, 1) sublane iota (tiny), shared RHS [[t], [1]].
                 # Mosaic only lowers INTEGER iota ("'tpu.iota' op result #0
                 # must be vector of integer or index values" — round-4
-                # on-chip sweep); build int32 and convert.
+                # on-chip sweep); build int32 and convert. Rank-1 form:
+                # U = t − sy + 1 alone; tri = max(0, 1−|U−1|)
+                # (_tri_from_u) — the W block (= 2−U) would double the
+                # matmul-output stack tensor.
                 o_col = jax.lax.broadcasted_iota(
                     jnp.int32, (window, 1), 0
                 ).astype(jnp.float32)
@@ -647,23 +642,15 @@ def _crop_frac_kernel(
                 ones_c = jnp.ones((window, 1), jnp.float32)
                 zeros_c = jnp.zeros((window, 6), jnp.float32)
                 lhs = jnp.concatenate(
-                    [
-                        jnp.concatenate([ones_c, 1.0 - sy, zeros_c], axis=1),
-                        jnp.concatenate([-ones_c, 1.0 + sy, zeros_c], axis=1),
-                    ],
-                    axis=0,
-                )  # (2·window, 8): U = t − sy + 1, W = sy − t + 1 (K padded
-                # to the f32 sublane tile like _tri_uw_lhs)
-                UW = jax.lax.dot_general(
+                    [ones_c, 1.0 - sy, zeros_c], axis=1
+                )  # (window, 8), K padded to the f32 sublane tile
+                U = jax.lax.dot_general(
                     lhs, tlane_ref[:, :rows],
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                     precision=jax.lax.Precision.HIGHEST,
-                ).astype(jnp.bfloat16)
-                V = jnp.maximum(
-                    jnp.minimum(UW[:window], UW[window:]),
-                    jnp.zeros((), jnp.bfloat16),
-                ).astype(dt)
+                )
+                V = _tri_from_u(U, 1.0).astype(dt)
             t1_ref[...] = jax.lax.dot_general(
                 V, strip_ref[:rows],
                 dimension_numbers=(((1,), (0,)), ((), ())),
@@ -687,26 +674,25 @@ def _crop_frac_kernel(
             0.0,
         ).astype(dt)
     else:
-        # U = 1 − sxj + sx, W = 1 + sxj − sx: constant LHS rows
-        # [−1, 1+sx] / [+1, 1−sx] (uwlhs), face-dependent RHS
-        # [[sxj], [1]] from the constant jx row.
+        # Rank-1: U = 1 − sxj + sx from constant LHS rows [+1, 1−sx]
+        # (uwlhs) and the face-dependent RHS [[sxj], [1]] built from the
+        # constant jx row; tri = max(0, 1−|U−1|) (_tri_from_u). This
+        # halved the kernel's largest stack tensor — the 2-block [U; W]
+        # form OOMed the 16 MB scoped-VMEM limit by 4.15 MB (round-4
+        # on-chip sweep, WC=1920).
         sxj = x0 + (jxrow_ref[...] + 0.5) * r - 0.5  # (1, WcC)
         rhs = jnp.concatenate(
             [sxj, jnp.ones((1, WcC), jnp.float32),
              jnp.zeros((6, WcC), jnp.float32)], axis=0
         )
-        UWx = jax.lax.dot_general(
+        U = jax.lax.dot_general(
             uwlhs_ref[...], rhs,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=jax.lax.Precision.HIGHEST,
-        ).astype(jnp.bfloat16)
+        )
         Hx = (
-            jnp.maximum(
-                jnp.minimum(UWx[:WC], UWx[WC:]),
-                jnp.zeros((), jnp.bfloat16),
-            )
-            * mask_ref[...]
+            _tri_from_u(U, 1.0).astype(jnp.bfloat16) * mask_ref[...]
         ).astype(dt)
     out_ref[0] = jax.lax.dot_general(
         t1, Hx,
@@ -732,7 +718,7 @@ def crop_window_frac_pallas(
     resample factor). Returns (N, window, window·C) in the frame dtype.
 
     ``construction``: "mxu" (default) builds the tri tap planes via the
-    rank-2 U/W scheme with host-precomputed index constants — no per-face
+    rank-1 U scheme with host-precomputed index constants — no per-face
     iota/div/mod VPU passes; "legacy" keeps the original construction.
     """
     if construction not in ("legacy", "mxu"):
@@ -752,9 +738,9 @@ def crop_window_frac_pallas(
     import numpy as np  # host-side constants
 
     # Constant planes for the mxu construction ONLY (the legacy path must
-    # not pay their VMEM residency/DMA): lane-index RHS for V, the U/W LHS
-    # with sx = lane//C baked in for Hx (_tri_uw_lhs), the output-lane x
-    # index row, and the channel-phase mask.
+    # not pay their VMEM residency/DMA): lane-index RHS for V, the rank-1
+    # U LHS with sx = lane//C baked in for Hx (_tri_uw_lhs), the
+    # output-lane x index row, and the channel-phase mask.
     extra_ops, extra_specs = [], []
     if construction == "mxu":
         tl = np.zeros((8, rows_top), np.float32)
@@ -775,7 +761,7 @@ def crop_window_frac_pallas(
             pl.BlockSpec((8, rows_top),
                          lambda b, s0, lvl, fi, rfp, oy, x0: (0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((2 * WC, 8),
+            pl.BlockSpec((WC, 8),
                          lambda b, s0, lvl, fi, rfp, oy, x0: (0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, WcC),
