@@ -77,12 +77,11 @@ def _default_tokens():
     presence IS the fidelity gate, matching the candidate-clearance rule
     in the module docstring.
     """
-    toks = ["128f", "128f+d", "128f-uw16", "128f-int8+d", "160b", "160b-uw16"]
+    toks = ["128f", "128f+d", "160b"]
     from deepfake_vit_tpu.preprocessing.detector import default_weights_path
 
     if default_weights_path("lite"):
         toks.insert(2, "128f+L")
-        toks.insert(5, "160b+L")
     return ",".join(toks)
 
 

@@ -128,6 +128,11 @@ def main():
     parser.add_argument("--save-every", type=int, default=10,
                         help="also write --save every N epochs (crash safety)")
     parser.add_argument("--seed", type=int, default=42)
+    parser.add_argument("--kps-weight", type=float, default=2.0,
+                        help="refine model only: landmark-loss weight in the "
+                        "refiner objective (training/refinement.py). The kps "
+                        "head is the acceptance-bar limiter (<10%% IED), so "
+                        "fine-tune runs typically raise this")
     parser.add_argument("--domain-aug", type=float, default=0.0,
                         help="probability of applying a photometric domain-"
                         "shift or safe-clutter augmentation per image "
@@ -229,7 +234,8 @@ def main():
 
     mesh = data_parallel_mesh()
     if args.model == "refine":
-        step = make_refiner_train_step(model, optimizer, mesh=mesh)
+        step = make_refiner_train_step(model, optimizer, mesh=mesh,
+                                       kps_weight=args.kps_weight)
     else:
         step = make_detector_train_step(model, optimizer, size, mesh)
 

@@ -139,6 +139,6 @@ def test_default_tokens_gate_on_lite_weights(monkeypatch):
         lambda m="scrfd": "/w/lite.msgpack" if m == "lite" else None,
     )
     toks = bench._default_tokens().split(",")
-    # Control stays first (it anchors the A/B); lite combos are present.
+    # Control stays first (it anchors the A/B); the lite combo is present.
     assert toks[0] == "128f"
-    assert "128f+L" in toks and "160b+L" in toks
+    assert "128f+L" in toks
