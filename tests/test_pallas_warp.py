@@ -272,3 +272,38 @@ def test_pallas_warp_int8_construction(rng):
                                construction="int8")
         )
     assert out2[0, :, -5:, :].max() == 0.0
+
+
+def test_rank1_tri_identity():
+    """The rank-1 construction's algebra (round 4): with U = sigma*(1-d)+beta
+    from the _tri_uw_lhs matmul, tri taps are max(beta, c-|U-c|), c=sigma+beta
+    — exactly sigma*max(0, 1-|d|)+beta on valid rows, and exactly the tap-zero
+    sentinel on invalid rows. This identity is what lets the kernels drop the
+    W matmul block (W = 2c-U), halving their largest scoped-VMEM stack
+    tensor (the round-4 OOM fix)."""
+    from deepfake_vit_tpu.ops.pallas.warp_kernel import _tri_from_u, _tri_uw_lhs
+
+    rng = np.random.default_rng(7)
+    size, n = 48, 64
+    s = rng.uniform(-3.0, size + 3.0, (1, n)).astype(np.float32)
+    rhs = np.concatenate([s, np.ones((1, n), np.float32),
+                          np.zeros((6, n), np.float32)], axis=0)
+
+    # f32 mode (sigma=1, beta=0), with the last 8 rows marked invalid.
+    lhs = _tri_uw_lhs(size, jnp.float32, valid=size - 8)
+    assert lhs.shape == (size, 8)
+    U = np.asarray(lhs) @ rhs
+    got = np.asarray(_tri_from_u(jnp.asarray(U), 1.0))
+    d = s - np.arange(size, dtype=np.float32)[:, None]
+    want = np.maximum(0.0, 1.0 - np.abs(d))
+    want[size - 8:] = 0.0
+    np.testing.assert_allclose(got, want, rtol=0, atol=1e-6)
+
+    # int8 mode (sigma=127, beta=0.5): trunc-to-int8 must equal
+    # round(127*tri), including 0 on invalid rows and out-of-support.
+    lhs8 = _tri_uw_lhs(size, jnp.float32, scale=127.0, bias=0.5,
+                       valid=size - 8)
+    U8 = np.asarray(lhs8) @ rhs
+    q = np.asarray(_tri_from_u(jnp.asarray(U8), 127.5, 0.5)).astype(np.int8)
+    want_q = np.round(127.0 * want).astype(np.int8)
+    np.testing.assert_array_equal(q, want_q)
