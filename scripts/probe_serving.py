@@ -20,16 +20,24 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def parse_sweep_tokens(sweep: str):
-    """Parse --sweep tokens: ``<window><b|f>[-taps][+d|+L]``.
+    """Parse --sweep tokens: ``<window><b|f>[-taps][+d|+L][@batch]``.
 
     ``+d`` = int8 SCRFD detector (static scales); ``+L`` = the S2D-Lite
     detector family (models/lite_detector.py) in place of SCRFD. They are
     mutually exclusive (the int8 detector graph is SCRFD-only — e2e.py).
-    Returns (window, fractional, taps, int8_det, lite) tuples.
+    ``@N`` overrides the serving batch for that combo only (e.g.
+    ``128f@512``) — batch-size A/Bs must live in ONE process like every
+    other comparison on this tunnel (run-to-run variance is ±20%,
+    BASELINE.md); the frame buffer is built once at the max batch and
+    device-sliced per combo.
+    Returns (window, fractional, taps, int8_det, lite, batch|None) tuples.
     """
     combos = []
     for tok in sweep.split(","):
         tok = tok.strip()
+        tok, at, bat = tok.partition("@")
+        if at and not bat.isdigit():
+            raise SystemExit(f"bad sweep batch suffix @{bat!r}: want @<int>")
         lite = tok.endswith("+L")
         int8_det = tok.endswith("+d")
         if lite or int8_det:
@@ -37,10 +45,10 @@ def parse_sweep_tokens(sweep: str):
         tok, _, taps = tok.partition("-")
         if not tok or tok[-1] not in ("b", "f") or not tok[:-1].isdigit():
             raise SystemExit(
-                f"bad sweep token {tok!r}: want <window><b|f>[-taps][+d|+L]"
+                f"bad sweep token {tok!r}: want <window><b|f>[-taps][+d|+L][@batch]"
             )
         combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy",
-                       int8_det, lite))
+                       int8_det, lite, int(bat) if bat else None))
     return combos
 
 
@@ -158,8 +166,10 @@ def main():
     # before the big frame upload (BASELINE.md: first uint8 device_put in a
     # process crawls at ~0.05 MB/s; steady state is ~30-55 MB/s).
     jax.device_get(jax.device_put(np.ones((8, 128), np.uint8), dev))
+    sweep_combos = parse_sweep_tokens(args.sweep) if args.sweep else []
+    max_batch = max([args.batch] + [b for *_, b in sweep_combos if b])
     frames = jnp.asarray(
-        np.random.default_rng(0).integers(0, 256, size=(args.batch, 640, 640, 3)),
+        np.random.default_rng(0).integers(0, 256, size=(max_batch, 640, 640, 3)),
         jnp.uint8,
     )
 
@@ -175,9 +185,9 @@ def main():
                     f.flush()
                     os.fsync(f.fileno())
 
-        combos = parse_sweep_tokens(args.sweep)
+        combos = sweep_combos
         lite_det_vars = None
-        if any(lite for *_, lite in combos):
+        if any(lite for *_, lite, _b in combos):
             # The S2D-Lite family has its own parameter tree: init + weight
             # overlay through the same load_variables path the headline
             # uses, on the CPU backend (tunnel compiles cost minutes).
@@ -198,10 +208,13 @@ def main():
                       f"({type(e).__name__}: {msg}); dropping +L combos",
                       file=sys.stderr)
                 combos = [c for c in combos if not c[4]]
-        for window, frac, taps, int8_det, lite in combos:
+        for window, frac, taps, int8_det, lite, cbatch in combos:
+            b = cbatch or args.batch
+            fr = frames if b == max_batch else frames[:b]
             label = (f"w{window}{'frac' if frac else 'block'}-{taps}"
                      f"{'+int8det' if int8_det else ''}"
-                     f"{'+lite' if lite else ''}")
+                     f"{'+lite' if lite else ''}"
+                     f"{f'@b{b}' if b != args.batch else ''}")
             # Fail-soft per combo: a Mosaic lowering rejection (e.g. an s8
             # dot an older toolchain can't emit) must not kill the rest of
             # an unattended sweep.
@@ -219,30 +232,30 @@ def main():
                 )
                 dv = lite_det_vars if lite else det_vars
                 t_c0 = time.perf_counter()
-                out = p.forward(dv, model_vars, frames)
+                out = p.forward(dv, model_vars, fr)
                 _sync(out)
                 print(f"  {label} compile+run {time.perf_counter() - t_c0:.1f} s",
                       file=sys.stderr)
                 for _ in range(args.warmup - 1):
-                    _sync(p.forward(dv, model_vars, frames))
+                    _sync(p.forward(dv, model_vars, fr))
                 t0 = time.perf_counter()
                 for _ in range(args.iters):
-                    out = p.forward(dv, model_vars, frames)
+                    out = p.forward(dv, model_vars, fr)
                 _sync(out)
                 t = (time.perf_counter() - t0) / args.iters
-                print(f"e2e b{args.batch} {label}: "
-                      f"{args.batch / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
+                print(f"e2e b{b} {label}: "
+                      f"{b / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
                 emit({"label": label, "window": window, "fractional": frac,
                       "taps": taps, "int8_detector": int8_det, "lite": lite,
-                      "batch": args.batch, "ms": round(t * 1e3, 2),
-                      "faces_per_sec": round(args.batch / t, 1)})
+                      "batch": b, "ms": round(t * 1e3, 2),
+                      "faces_per_sec": round(b / t, 1)})
             except Exception as e:
                 msg = str(e).splitlines()[0][:200] if str(e) else ""
-                print(f"e2e b{args.batch} {label}: FAILED "
+                print(f"e2e b{b} {label}: FAILED "
                       f"({type(e).__name__}: {msg})")
                 emit({"label": label, "window": window, "fractional": frac,
                       "taps": taps, "int8_detector": int8_det, "lite": lite,
-                      "batch": args.batch,
+                      "batch": b,
                       "error": f"{type(e).__name__}: {msg}"})
         return
 

@@ -87,13 +87,17 @@ def _load_probe_serving():
 
 def test_sweep_token_grammar():
     ps = _load_probe_serving()
-    combos = ps.parse_sweep_tokens("160b,128f-uw16,128f-int8+d,160b+L, 128f+L")
+    combos = ps.parse_sweep_tokens(
+        "160b,128f-uw16,128f-int8+d,160b+L, 128f+L,128f@512,128f+d@384"
+    )
     assert combos == [
-        (160, False, "legacy", False, False),
-        (128, True, "uw16", False, False),
-        (128, True, "int8", True, False),
-        (160, False, "legacy", False, True),
-        (128, True, "legacy", False, True),
+        (160, False, "legacy", False, False, None),
+        (128, True, "uw16", False, False, None),
+        (128, True, "int8", True, False, None),
+        (160, False, "legacy", False, True, None),
+        (128, True, "legacy", False, True, None),
+        (128, True, "legacy", False, False, 512),
+        (128, True, "legacy", True, False, 384),
     ]
 
 
@@ -101,7 +105,7 @@ def test_sweep_token_grammar_rejects_garbage():
     import pytest
 
     ps = _load_probe_serving()
-    for bad in ("160", "x128f", "128f+z", "+L"):
+    for bad in ("160", "x128f", "128f+z", "+L", "128f@", "128f@big"):
         with pytest.raises(SystemExit):
             ps.parse_sweep_tokens(bad)
 
