@@ -4,7 +4,7 @@ Each input is a summary JSON written by experiment_attention_ablation.py
 (or the equivalent docs/ablation_r3_seeds.json record). Runs are poolable
 because pairing is WITHIN train seed — both arms of a pair share the same
 corpus, splits, and init seed — and every run here used the identical
-protocol (b0, 600/class @320², 35 epochs, lr 3e-4). Prints one pooled
+protocol (b0, 600/class, 224² faces, 35 epochs). Prints one pooled
 summary JSON with the paired 95% CI (t-distribution) on the mean ΔAUC,
 the decisive number for the HybridAttention claim (reference design
 intent: src/feature_extraction/landmark_attention.py:244-310).
