@@ -19,11 +19,14 @@ fused, static-shape stage:
   are ~1000× slow on TPU), and re-scored by one (B·K, S, S, 3) forward.
   One dispatch end-to-end; K is static; invalid slots ride along masked.
 - R-Net (24², no landmarks) and O-Net (48², landmarks) collapse into ONE
-  head at O-Net's native 48²: a single stage supplies both the
-  re-score/box-regression and the landmark refinement. (A 32² variant
-  trained round 4 converged to ~0.14-IED landmarks — below the 0.10
-  acceptance bar; the landmark head is resolution-bound, which is
-  precisely why MTCNN runs landmarks at 48², not 24².) Stage thresholds
+  head, at 64² rather than O-Net's 48²: the landmark head is
+  resolution-bound, and the measured ladder on this corpus is 32² →
+  ~0.14 IED, 48² → 0.105 IED (plateaued after a kps-weight-6 fine-tune;
+  just misses the <0.10 bar), i.e. error ≈ 1/side — which is precisely
+  why MTCNN runs landmarks at 48², not 24², and why this stage takes one
+  more doubling-step than MTCNN (64² ≈ 0.08 IED predicted; iterating the
+  48² refiner a second pass on its own refined box only moved 0.105 →
+  0.100, within scene-set noise). Stage thresholds
   [0.6, 0.7, 0.8] map to: proposal ``confidence_threshold`` (first),
   ``refine_threshold`` (the cascade's final gate, default 0.7 on the
   refined score).
@@ -43,7 +46,8 @@ from flax import linen as nn
 
 from ..ops.warp import crop_and_resize
 
-REFINE_CROP = 48  # static crop side (O-Net's 48²; R-Net's 24² role fused in)
+REFINE_CROP = 64  # static crop side (one doubling-step past O-Net's 48²;
+#                   R-Net's 24² role fused in — see resolution ladder above)
 
 
 class RefineNet(nn.Module):
@@ -53,10 +57,10 @@ class RefineNet(nn.Module):
     Dense little tower: stride-2 convs instead of MTCNN's 3×3 maxpools
     (pools waste the MXU; stride-2 convs ARE the downsample and the
     contraction), channels wide enough that every conv is a real matmul.
-    ~0.2M params — noise next to the proposal net.
+    ~0.45M params at 64² crops — still noise next to the proposal net.
     """
 
-    widths: Any = (32, 64, 96, 128)  # 48→24→12→6→3; flatten 3·3·128
+    widths: Any = (32, 64, 96, 128)  # 64→32→16→8→4; flatten 4·4·128
     dense: int = 128
     dtype: Any = jnp.float32
 
