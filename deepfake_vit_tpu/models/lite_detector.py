@@ -16,8 +16,9 @@ bars) with the opposite, TPU-native means:
   matmul at C ≥ 48 — no low-C spatial convs, no depthwise stages, no image
   pyramid, and the largest spatial extent any conv sees is 80².
 - The net is ~5 dense convs + 3 stride-2 transitions + a 1×1-lateral FPN
-  and a shared depth-1 head — about 0.9M params vs the SCRFD net's ~3.5M,
-  with its FLOPs concentrated where the MXU is efficient.
+  with 3×3 smooth convs and a shared depth-2 head — about 2.1M params vs
+  the SCRFD net's ~3.5M, with its FLOPs concentrated where the MXU is
+  efficient.
 
 Why the s2d-early post-mortem (models/s2d_early.py, measured out at 92.8
 vs 75.1 ms e2e) does NOT apply here: that route had to reproduce a
@@ -44,15 +45,18 @@ the space-to-depth factor to 4p, and ``fold_stem_pool_params_lite``
 expands the canonical first-conv weights so pool-then-detect is
 reproduced EXACTLY (an average pool is a linear map on s2d blocks).
 
-Training status (round-4 post-mortem): a full 33-epoch run on the 2,500
-scene procedural corpus (AdamW 1e-3, 320²) converged in loss
+Training status: the FIRST capacity point (widths (64, 96, 128, 160),
+raw 1×1-lateral FPN, depth-1 head, ~0.9M params) ran 33 epochs on the
+2,500-scene procedural corpus (AdamW 1e-3, 320²), converged in loss
 (total 0.12) but plateaued at recall 0.75 / clutter pass-rate 0.75 vs
-the 0.9 bars — the ~0.9M-param budget under-fits the SCRFD-level
-contract on this corpus, and more epochs did not move either bar (the
-judge measured the identical 0.75s mid-train at ~e20). No weights ship;
-the ``+L`` bench tokens stay inactive (docs/DESIGN.md § weight gate).
-Closing the gap needs capacity (e.g. a wider head or a second head
-depth) or a recall-weighted loss schedule — not longer training.
+the 0.9 bars — under-fit, not under-trained (the judge measured the
+identical 0.75s mid-train at ~e20). The capacity was therefore raised
+to match the structural elements SCRFD has and the lite net lacked:
+widths → (64, 128, 192, 256), post-FPN 3×3 smooth convs (the depth-1
+head previously read raw lateral sums), and head depth 1 → 2 (~2.1M
+params, every conv still a dense ≥48-channel MXU matmul). Weights ship
+only via scripts/promote_weights.py after the SCRFD-level acceptance
+tests pass (docs/DESIGN.md § weight gate).
 """
 
 from __future__ import annotations
@@ -84,8 +88,9 @@ class LiteDetector(nn.Module):
     32·stem_pool (anchor-grid alignment).
     """
 
-    widths: Sequence[int] = (64, 96, 128, 160)  # at strides 4, 8, 16, 32
+    widths: Sequence[int] = (64, 128, 192, 256)  # at strides 4, 8, 16, 32
     fpn_width: int = 64
+    head_depth: int = 2
     dtype: Any = jnp.float32
     # stem_pool=p > 1: consume p·canvas frames directly — the s2d factor
     # becomes 4p and the first conv's kernel is expanded by
@@ -113,11 +118,16 @@ class LiteDetector(nn.Module):
         p5 = nn.Conv(self.fpn_width, (1, 1), name="lat5", **conv_kw)(c5)
         p4 = nn.Conv(self.fpn_width, (1, 1), name="lat4", **conv_kw)(c4) + _upsample2(p5)
         p3 = nn.Conv(self.fpn_width, (1, 1), name="lat3", **conv_kw)(c3) + _upsample2(p4)
+        levels = [
+            _ConvBN(self.fpn_width, 3, 1, dtype=self.dtype, name=f"smooth{i}")(p, train)
+            for i, p in enumerate((p3, p4, p5))
+        ]
 
-        head = _ScrfdHead(self.fpn_width, 1, dtype=self.dtype, name="head")
+        head = _ScrfdHead(self.fpn_width, self.head_depth, dtype=self.dtype,
+                          name="head")
         return {
             stride: head(feat, train)
-            for stride, feat in zip(STRIDES, (p3, p4, p5))
+            for stride, feat in zip(STRIDES, levels)
         }
 
 

@@ -162,7 +162,7 @@ def test_mtcnn_lite_trained_quality():
 
 
 # ---------------------------------------------------------------------------
-# Fourth family: S2D-Lite (models/lite_detector.py, ~0.9M params). Unlike
+# Fourth family: S2D-Lite (models/lite_detector.py, ~2.1M params). Unlike
 # MTCNN-Lite it is a candidate SCRFD *replacement* at the same 320² canvas
 # (ROADMAP 1b), so it must hold the SAME bars as SCRFD — recall ≥ 0.9
 # @ IoU>0.5, landmark error < 10% IED, and the clutter false-positive bar.
