@@ -25,6 +25,7 @@ from . import native_loader
 from .dataset import (
     IMAGENET_MEAN,
     IMAGENET_STD,
+    CachedDeviceLoader,
     DeviceLoader,
     HostLoader,
     PreprocessedFaceDataset,
@@ -42,6 +43,7 @@ from .splits import create_data_splits
 __all__ = [
     "IMAGENET_MEAN",
     "IMAGENET_STD",
+    "CachedDeviceLoader",
     "DeviceLoader",
     "FeatureExtractionInput",
     "HostLoader",

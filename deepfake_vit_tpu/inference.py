@@ -75,6 +75,38 @@ class DeepfakePredictor:
 
         self._predict_jit = jax.jit(self._predict_graph)
 
+    @classmethod
+    def from_packaged(
+        cls,
+        weights_path: str,
+        preprocessing_config: Dict[str, Any],
+        **kwargs,
+    ) -> "DeepfakePredictor":
+        """Build a predictor from a self-describing packaged classifier.
+
+        The file (``scripts/package_classifier.py`` →
+        ``scripts/promote_weights.py --model classifier``) embeds the model
+        config and trained face size, so the predictor rebuilds the exact
+        trained architecture regardless of the caller's YAML — the
+        out-of-the-box replacement for the reference's external
+        ``best_model.pth`` (``task.ipynb`` cell 16).
+        """
+        packaged = load_checkpoint(weights_path)
+        if packaged.get("format") != "dfv-classifier-v1":
+            raise ValueError(
+                f"{weights_path} is not a packaged classifier "
+                f"(format={packaged.get('format')!r})"
+            )
+        face = int(packaged.get("face_size", 224))
+        pre = dict(preprocessing_config)
+        pre["alignment"] = {
+            **preprocessing_config.get("alignment", {}),
+            "output_size": [face, face],
+        }
+        self = cls({"model": packaged["model_config"]}, pre, **kwargs)
+        self.state = restore_train_state(self.state, packaged, restore_opt=False)
+        return self
+
     def _predict_graph(self, params, batch_stats, images, landmarks, mask):
         variables = {"params": params, "batch_stats": batch_stats}
         logits, _ = self.model.apply(variables, images, landmarks, train=False)

@@ -40,8 +40,19 @@ class FaceAligner:
         reference_landmarks: Optional[Dict[str, Tuple[float, float]]] = None,
         method: str = "similarity",
         border_value: float = 0.0,
+        warp_window: Optional[int] = None,
+        warp_fractional: bool = True,
     ):
         self.output_size = tuple(output_size)
+        # Serving-matched warp: when set, sources larger than `warp_window`
+        # are cropped/resampled through the windowed warp the serving
+        # FusedPipeline uses (ops/warp.py::warp_affine_windowed) instead of
+        # the exact full-frame warp — so offline-preprocessed crops carry
+        # the SAME fidelity profile the online path produces. This is the
+        # knob the paired-seed warp-window A/B (scripts/
+        # experiment_pipeline_ab.py) turns. None (default) = exact warp.
+        self.warp_window = int(warp_window) if warp_window else None
+        self.warp_fractional = bool(warp_fractional)
         ref = {**DEFAULT_REFERENCE_LANDMARKS, **(reference_landmarks or {})}
         # Normalized template coords → absolute output pixels.
         self.reference = np.asarray(
@@ -75,7 +86,21 @@ class FaceAligner:
         """images (B, H, W, 3) uint8/float; landmarks (B, 5, 2) source pixels."""
         images = images.astype(jnp.float32)
         tform = self._estimate(landmarks)
-        if self.border_value == 0.0:
+        use_windowed = (
+            self.warp_window is not None
+            and self.border_value == 0.0
+            and min(images.shape[1], images.shape[2]) >= self.warp_window
+            and images.shape[1] % 8 == 0
+            and self.warp_window % 8 == 0
+        )
+        if use_windowed:
+            from ..ops.warp import warp_affine_windowed
+
+            aligned = warp_affine_windowed(
+                images, tform, self.output_size,
+                window=self.warp_window, fractional=self.warp_fractional,
+            )
+        elif self.border_value == 0.0:
             aligned = warp_affine_auto(images, tform, self.output_size)
         else:  # non-zero border: only the gather path supports it
             from ..ops.warp import warp_affine

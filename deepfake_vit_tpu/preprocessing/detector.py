@@ -37,6 +37,9 @@ DEFAULT_WEIGHTS_BY_MODEL = {
     "hog": _WEIGHTS_DIR / "hog_synface.msgpack",
     "lite": _WEIGHTS_DIR / "lite_synface.msgpack",
     "refine": _WEIGHTS_DIR / "refine_synface.msgpack",
+    # Not a detector: the flagship end-task classifier (scripts/predict.py
+    # default when --checkpoint is absent) rides the same promotion gate.
+    "classifier": _WEIGHTS_DIR / "classifier_synface.msgpack",
 }
 
 

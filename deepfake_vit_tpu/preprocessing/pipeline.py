@@ -72,6 +72,8 @@ class PreprocessingPipeline:
             reference_landmarks=align_cfg.get("reference_landmarks"),
             method=align_cfg.get("method", "similarity"),
             border_value=float(align_cfg.get("border_value", 0)),
+            warp_window=align_cfg.get("warp_window"),
+            warp_fractional=bool(align_cfg.get("warp_fractional", True)),
         )
         self.quality_checker = QualityChecker(config.get("quality", {}))
         pipe_cfg = config.get("pipeline", {})

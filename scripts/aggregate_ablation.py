@@ -34,8 +34,14 @@ def pool(paths):
                              "earlier run — pairs must be independent")
         seeds += run_seeds
         deltas += s["delta_auc_per_seed"]
-        att += s["auc_attention"]["per_seed"]
-        abl += s["auc_ablation"]["per_seed"]
+        # Two poolable schemas: the attention-ablation summary
+        # (auc_attention/auc_ablation) and the generic knob-A/B summary
+        # from experiment_pipeline_ab.py (auc_treat/auc_control) — in both,
+        # delta = first − second.
+        a = s.get("auc_attention") or s["auc_treat"]
+        b = s.get("auc_ablation") or s["auc_control"]
+        att += a["per_seed"]
+        abl += b["per_seed"]
     lo, hi = _paired_ci95(deltas)
     return {
         "n_pairs": len(deltas),

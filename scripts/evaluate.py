@@ -66,6 +66,8 @@ def main():
         use_landmarks=data_cfg.get("use_landmarks", True),
         mesh=mesh,
         splits=(args.split,),
+        image_size=data_cfg.get("image_size", 224),
+        cache=data_cfg.get("cache"),
     )
     loader = loaders[args.split]
 

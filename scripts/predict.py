@@ -46,7 +46,10 @@ def sample_video_frames(path: Path, count: int):
 def main():
     parser = argparse.ArgumentParser(description="Predict real/fake for files (TPU)")
     parser.add_argument("--data-dir", type=str, required=True)
-    parser.add_argument("--checkpoint", type=str, required=True)
+    parser.add_argument("--checkpoint", type=str, default=None,
+                        help="trained checkpoint; when absent, the shipped "
+                        "promotion-gated classifier weights are used "
+                        "(deepfake_vit_tpu/weights/classifier_synface.msgpack)")
     parser.add_argument("--config", type=str, default=None, help="model config YAML")
     parser.add_argument("--preprocessing-config", type=str, default=None)
     parser.add_argument("--output", type=str, default="submission.csv")
@@ -68,10 +71,28 @@ def main():
     model_config = load_config(args.config or pkg_cfg / "model_config.yaml")
     pre_config = load_config(args.preprocessing_config or pkg_cfg / "preprocessing_config.yaml")
 
-    predictor = DeepfakePredictor(
-        model_config, pre_config, checkpoint_path=args.checkpoint,
-        frame_count=args.frames, threshold=args.threshold,
-    )
+    if args.checkpoint:
+        predictor = DeepfakePredictor(
+            model_config, pre_config, checkpoint_path=args.checkpoint,
+            frame_count=args.frames, threshold=args.threshold,
+        )
+    else:
+        # Out-of-the-box path: the shipped promotion-gated classifier
+        # (reference parity: task.ipynb cell 16 loads a trained
+        # best_model.pth; here the artifact is in-repo and acceptance-gated).
+        from deepfake_vit_tpu.preprocessing.detector import default_weights_path
+
+        shipped = default_weights_path("classifier")
+        if not shipped:
+            parser.error(
+                "--checkpoint not given and no shipped classifier weights "
+                "found (deepfake_vit_tpu/weights/classifier_synface.msgpack)"
+            )
+        logger.info(f"using shipped classifier weights: {shipped}")
+        predictor = DeepfakePredictor.from_packaged(
+            shipped, pre_config, frame_count=args.frames,
+            threshold=args.threshold,
+        )
 
     files = sorted(p for p in Path(args.data_dir).iterdir() if p.is_file())
     results = []

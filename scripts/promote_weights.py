@@ -66,6 +66,16 @@ FAMILY_TESTS = {
         ],
         "refine_synface.msgpack",
     ),
+    # End-task classifier (not a detector): held-out AUC on a FRESH-seed
+    # rendered corpus through the production detect→align→classify path —
+    # the gate behind scripts/predict.py's out-of-the-box default.
+    "classifier": (
+        [
+            "tests/test_classifier_trained.py::test_heldout_auc_bar",
+            "tests/test_classifier_trained.py::test_packaged_format_contract",
+        ],
+        "classifier_synface.msgpack",
+    ),
 }
 
 

@@ -90,6 +90,8 @@ def main():
         use_landmarks=data_cfg.get("use_landmarks", True),
         mesh=mesh,
         seed=seed,
+        image_size=data_cfg.get("image_size", 224),
+        cache=data_cfg.get("cache"),
     )
     if "train" not in loaders:
         logger.error(f"no train split found under {processed_dir}/splits — run preprocess_dataset.py first")
