@@ -20,17 +20,21 @@ sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def parse_sweep_tokens(sweep: str):
-    """Parse --sweep tokens: ``<window><b|f>[-taps][+d|+L][@batch]``.
+    """Parse --sweep tokens: ``<window><b|f>[-taps][+d|+L][/oN][@batch]``.
 
     ``+d`` = int8 SCRFD detector (static scales); ``+L`` = the S2D-Lite
     detector family (models/lite_detector.py) in place of SCRFD. They are
     mutually exclusive (the int8 detector graph is SCRFD-only — e2e.py).
+    ``/oN`` overrides the aligned-face (classify input) side for that combo
+    (e.g. ``128f/o192`` — the resolution-ladder rung; accuracy side decided
+    by scripts/experiment_pipeline_ab.py ``face_size=`` arms).
     ``@N`` overrides the serving batch for that combo only (e.g.
     ``128f@512``) — batch-size A/Bs must live in ONE process like every
     other comparison on this tunnel (run-to-run variance is ±20%,
     BASELINE.md); the frame buffer is built once at the max batch and
     device-sliced per combo.
-    Returns (window, fractional, taps, int8_det, lite, batch|None) tuples.
+    Returns (window, fractional, taps, int8_det, lite, batch|None,
+    out_size|None) tuples.
     """
     combos = []
     for tok in sweep.split(","):
@@ -38,6 +42,9 @@ def parse_sweep_tokens(sweep: str):
         tok, at, bat = tok.partition("@")
         if at and not bat.isdigit():
             raise SystemExit(f"bad sweep batch suffix @{bat!r}: want @<int>")
+        tok, slash, osz = tok.partition("/o")
+        if slash and not osz.isdigit():
+            raise SystemExit(f"bad sweep face-size suffix /o{osz!r}: want /o<int>")
         lite = tok.endswith("+L")
         int8_det = tok.endswith("+d")
         if lite or int8_det:
@@ -45,10 +52,12 @@ def parse_sweep_tokens(sweep: str):
         tok, _, taps = tok.partition("-")
         if not tok or tok[-1] not in ("b", "f") or not tok[:-1].isdigit():
             raise SystemExit(
-                f"bad sweep token {tok!r}: want <window><b|f>[-taps][+d|+L][@batch]"
+                f"bad sweep token {tok!r}: want "
+                "<window><b|f>[-taps][+d|+L][/oN][@batch]"
             )
         combos.append((int(tok[:-1]), tok[-1] == "f", taps or "legacy",
-                       int8_det, lite, int(bat) if bat else None))
+                       int8_det, lite, int(bat) if bat else None,
+                       int(osz) if osz else None))
     return combos
 
 
@@ -167,7 +176,7 @@ def main():
     # process crawls at ~0.05 MB/s; steady state is ~30-55 MB/s).
     jax.device_get(jax.device_put(np.ones((8, 128), np.uint8), dev))
     sweep_combos = parse_sweep_tokens(args.sweep) if args.sweep else []
-    max_batch = max([args.batch] + [b for *_, b in sweep_combos if b])
+    max_batch = max([args.batch] + [b for *_, b, _o in sweep_combos if b])
     frames = jnp.asarray(
         np.random.default_rng(0).integers(0, 256, size=(max_batch, 640, 640, 3)),
         jnp.uint8,
@@ -187,7 +196,7 @@ def main():
 
         combos = sweep_combos
         lite_det_vars = None
-        if any(lite for *_, lite, _b in combos):
+        if any(lite for *_, lite, _b, _o in combos):
             # The S2D-Lite family has its own parameter tree: init + weight
             # overlay through the same load_variables path the headline
             # uses, on the CPU backend (tunnel compiles cost minutes).
@@ -208,12 +217,13 @@ def main():
                       f"({type(e).__name__}: {msg}); dropping +L combos",
                       file=sys.stderr)
                 combos = [c for c in combos if not c[4]]
-        for window, frac, taps, int8_det, lite, cbatch in combos:
+        for window, frac, taps, int8_det, lite, cbatch, osize in combos:
             b = cbatch or args.batch
             fr = frames if b == max_batch else frames[:b]
             label = (f"w{window}{'frac' if frac else 'block'}-{taps}"
                      f"{'+int8det' if int8_det else ''}"
                      f"{'+lite' if lite else ''}"
+                     f"{f'/o{osize}' if osize else ''}"
                      f"{f'@b{b}' if b != args.batch else ''}")
             # Fail-soft per combo: a Mosaic lowering rejection (e.g. an s8
             # dot an older toolchain can't emit) must not kill the rest of
@@ -224,11 +234,16 @@ def main():
                     serving_size=(640, 640), confidence_threshold=0.0,
                     use_int8_tail=not args.no_int8,
                     int8_tail_start=args.int8_start,
+                    # /oN combos reuse the 224²-calibrated scales: the
+                    # per-layer scalars shift slightly with input size but
+                    # timing is value-independent (accuracy for a flipped
+                    # face size would be re-gated at promotion time).
                     int8_act_scales=pipe.int8_act_scales,
                     warp_window=window, warp_fractional=frac,
                     warp_tap_mode=taps,
                     use_int8_detector=int8_det, det_act_scales=det_scales,
                     detector_arch="lite" if lite else "scrfd",
+                    **(dict(output_size=(osize, osize)) if osize else {}),
                 )
                 dv = lite_det_vars if lite else det_vars
                 t_c0 = time.perf_counter()
@@ -247,7 +262,8 @@ def main():
                       f"{b / t:.1f} faces/s ({t * 1e3:.2f} ms/step)")
                 emit({"label": label, "window": window, "fractional": frac,
                       "taps": taps, "int8_detector": int8_det, "lite": lite,
-                      "batch": b, "ms": round(t * 1e3, 2),
+                      "batch": b, "out_size": osize,
+                      "ms": round(t * 1e3, 2),
                       "faces_per_sec": round(b / t, 1)})
             except Exception as e:
                 msg = str(e).splitlines()[0][:200] if str(e) else ""
@@ -255,7 +271,7 @@ def main():
                       f"({type(e).__name__}: {msg})")
                 emit({"label": label, "window": window, "fractional": frac,
                       "taps": taps, "int8_detector": int8_det, "lite": lite,
-                      "batch": b,
+                      "batch": b, "out_size": osize,
                       "error": f"{type(e).__name__}: {msg}"})
         return
 

@@ -88,16 +88,19 @@ def _load_probe_serving():
 def test_sweep_token_grammar():
     ps = _load_probe_serving()
     combos = ps.parse_sweep_tokens(
-        "160b,128f-uw16,128f-int8+d,160b+L, 128f+L,128f@512,128f+d@384"
+        "160b,128f-uw16,128f-int8+d,160b+L, 128f+L,128f@512,128f+d@384,"
+        "128f/o192,96f+d/o192@384"
     )
     assert combos == [
-        (160, False, "legacy", False, False, None),
-        (128, True, "uw16", False, False, None),
-        (128, True, "int8", True, False, None),
-        (160, False, "legacy", False, True, None),
-        (128, True, "legacy", False, True, None),
-        (128, True, "legacy", False, False, 512),
-        (128, True, "legacy", True, False, 384),
+        (160, False, "legacy", False, False, None, None),
+        (128, True, "uw16", False, False, None, None),
+        (128, True, "int8", True, False, None, None),
+        (160, False, "legacy", False, True, None, None),
+        (128, True, "legacy", False, True, None, None),
+        (128, True, "legacy", False, False, 512, None),
+        (128, True, "legacy", True, False, 384, None),
+        (128, True, "legacy", False, False, None, 192),
+        (96, True, "legacy", True, False, 384, 192),
     ]
 
 
@@ -105,7 +108,8 @@ def test_sweep_token_grammar_rejects_garbage():
     import pytest
 
     ps = _load_probe_serving()
-    for bad in ("160", "x128f", "128f+z", "+L", "128f@", "128f@big"):
+    for bad in ("160", "x128f", "128f+z", "+L", "128f@", "128f@big",
+                "128f/o", "128f/obig"):
         with pytest.raises(SystemExit):
             ps.parse_sweep_tokens(bad)
 
