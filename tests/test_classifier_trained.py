@@ -114,3 +114,47 @@ def test_heldout_auc_bar():
     auc = roc_auc(np.asarray(kept_labels), np.asarray(probs))
     print(f"held-out AUC: {auc:.4f} over {n} faces (bar {AUC_BAR})")
     assert auc >= AUC_BAR, f"held-out AUC {auc:.4f} below bar {AUC_BAR}"
+
+
+@pytest.mark.slow
+def test_out_of_the_box_predict_cli(tmp_path):
+    """`scripts/predict.py` with NO --checkpoint must produce a valid
+    submission.csv from the shipped promotion-gated classifier — the
+    reference's task.ipynb cell-16 flow with the external best_model.pth
+    replaced by the in-repo gated artifact (VERDICT r4 missing #3)."""
+    import os
+    import subprocess
+    import sys
+    from pathlib import Path
+
+    import cv2
+
+    from deepfake_vit_tpu.data.synth_faces import render_labeled_face
+
+    repo = Path(__file__).resolve().parents[1]
+    data = tmp_path / "files"
+    data.mkdir()
+    rng = np.random.default_rng(5)
+    for i, fake in enumerate([False, True]):
+        img, _, _ = render_labeled_face(rng, size=320, fake=fake)
+        cv2.imwrite(str(data / f"img_{i}.png"),
+                    cv2.cvtColor(img, cv2.COLOR_RGB2BGR))
+    (data / "corrupt.png").write_text("not media")
+
+    out = tmp_path / "submission.csv"
+    env = dict(os.environ)
+    env.pop("PALLAS_AXON_POOL_IPS", None)
+    env.update(JAX_PLATFORMS="cpu", JAX_PLATFORM_NAME="cpu",
+               PYTHONPATH=str(repo))
+    proc = subprocess.run(
+        [sys.executable, str(repo / "scripts/predict.py"),
+         "--data-dir", str(data), "--output", str(out)],
+        env=env, capture_output=True, text=True, timeout=600,
+    )
+    assert proc.returncode == 0, proc.stderr[-2000:]
+    rows = out.read_text().strip().splitlines()
+    assert rows[0] == "filename,label"
+    body = dict(r.split(",") for r in rows[1:])
+    assert set(body) == {"img_0.png", "img_1.png", "corrupt.png"}
+    assert body["corrupt.png"] == "0"  # failure → real (reference semantics)
+    assert all(v in ("0", "1") for v in body.values())
