@@ -98,11 +98,12 @@ def main():
                     "scales (removes the per-conv max-abs + quantize passes)")
     ap.add_argument("--sweep", type=str, default=None,
                     help="same-process warp-config sweep: comma-separated "
-                    "<window><b|f>[-taps][+d|+L] combos, e.g. "
-                    "'160b,160f,128f-uw16,160b+d,160b+L' "
+                    "<window><b|f>[-taps][+d|+L][/oN][@batch] combos, e.g. "
+                    "'160b,128f-uw16,128f+d,128f/o192,128f@512' "
                     "(b = 2^l block average, f = fractional taps; +d = int8 "
                     "detector, static scales; +L = the S2D-Lite detector "
-                    "family). Each combo is a fresh "
+                    "family; /oN = classify face side; @N = per-combo "
+                    "batch). Each combo is a fresh "
                     "FusedPipeline sharing the loaded weights and the one "
                     "int8 calibration; timed under the one-process control "
                     "protocol of BASELINE.md round-3 tables")
